@@ -1,0 +1,125 @@
+"""Torch-parity image resizing primitives.
+
+Pixel faithfulness vs the PyTorch reference requires matching
+``F.interpolate``'s exact sampling conventions, which differ from
+``jax.image.resize``:
+
+- nearest:  torch uses the *asymmetric* convention ``src = floor(dst*H_in/H_out)``
+            (no half-pixel shift); jax.image uses half-pixel centres.
+- bilinear (align_corners=False): torch samples at half-pixel centres but does
+            NOT antialias on downsample; jax.image antialiases.
+
+We therefore implement resizes as gathers / small dense interpolation-matrix
+matmuls built at trace time (static shapes), which also map well onto the MXU.
+
+Used by: encoder input 1024->256 (ref: src/models/networks.py:87), segmap
+nearest resizes (ref: src/models/stylegan2/model.py:391,430;
+src/models/encoders/psp_encoders.py:265), LPIPS multi-scale pooling
+(ref: src/training/coach.py:426-437), mask up-sizing in the swap pipeline
+(ref: scripts/face_swap.py:291-300).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    # torch nearest (asymmetric, floor): idx = floor(i * in / out)
+    idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int32)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def nearest_resize(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbour resize matching ``F.interpolate(mode='nearest')``.
+
+    x: [..., H, W] -> [..., size[0], size[1]].
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    out_h, out_w = size
+    if (H, W) == (out_h, out_w):
+        return x
+    iy = jnp.asarray(_nearest_indices(H, out_h))
+    ix = jnp.asarray(_nearest_indices(W, out_w))
+    return x[..., iy, :][..., ix]
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_matrix(
+    in_size: int, out_size: int, align_corners: bool
+) -> np.ndarray:
+    """Dense [out, in] interpolation matrix for torch bilinear (no antialias)."""
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    for o in range(out_size):
+        if align_corners:
+            src = o * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (o + 0.5) * (in_size / out_size) - 0.5
+        src_c = min(max(src, 0.0), in_size - 1)
+        i0 = int(np.floor(src_c))
+        i1 = min(i0 + 1, in_size - 1)
+        w = src_c - i0
+        A[o, i0] += 1.0 - w
+        A[o, i1] += w
+    return A
+
+
+def bilinear_resize(
+    x: jnp.ndarray, size: tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize matching ``F.interpolate(mode='bilinear')``.
+
+    No antialiasing on downsample (torch default). Implemented as two small
+    dense matmuls (separable), which XLA maps onto the MXU.
+
+    x: [..., H, W] -> [..., size[0], size[1]].
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    out_h, out_w = size
+    if (H, W) == (out_h, out_w):
+        return x
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    Ah = jnp.asarray(_bilinear_matrix(H, out_h, align_corners), dtype=dt)
+    Aw = jnp.asarray(_bilinear_matrix(W, out_w, align_corners), dtype=dt)
+    y = jnp.einsum("oh,...hw->...ow", Ah, x.astype(dt))
+    y = jnp.einsum("pw,...ow->...op", Aw, y)
+    return y
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, size) -> jnp.ndarray:
+    """``F.adaptive_avg_pool2d`` for the cases the reference uses.
+
+    Exact for output sizes that divide the input (the only cases on the E4S
+    hot paths: LPIPS 1024->512->256 pyramids and SE global pooling); general
+    sizes fall back to the torch start/end-index formula.
+    """
+    if isinstance(size, int):
+        size = (size, size)
+    out_h, out_w = size
+    H, W = x.shape[-2], x.shape[-1]
+    if out_h == 1 and out_w == 1:
+        return jnp.mean(x, axis=(-2, -1), keepdims=True)
+    if H % out_h == 0 and W % out_w == 0:
+        fh, fw = H // out_h, W // out_w
+        shape = x.shape[:-2] + (out_h, fh, out_w, fw)
+        return jnp.mean(x.reshape(shape), axis=(-3, -1))
+    # General case: torch computes mean over [floor(i*H/out), ceil((i+1)*H/out)).
+    Ah = _adaptive_pool_matrix(H, out_h)
+    Aw = _adaptive_pool_matrix(W, out_w)
+    y = jnp.einsum("oh,...hw->...ow", jnp.asarray(Ah, x.dtype), x)
+    return jnp.einsum("pw,...ow->...op", jnp.asarray(Aw, x.dtype), y)
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    for o in range(out_size):
+        lo = (o * in_size) // out_size
+        hi = -(-((o + 1) * in_size) // out_size)  # ceil
+        A[o, lo:hi] = 1.0 / (hi - lo)
+    return A
