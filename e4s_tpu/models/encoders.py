@@ -1,0 +1,268 @@
+"""RGI texture encoder (FSEncoder_PSP) + IR-SE backbones.
+
+Parity targets:
+- src/models/encoders/helpers.py (SEModule, bottleneck_IR / _SE / _SE_Ours)
+- src/models/encoders/psp_encoders.py:238-308 (FSEncoder_PSP)
+- src/models/encoders/model_irse.py:9-69 (IR-SE50 Backbone for the ID loss)
+
+The per-(sample, region) masked_select loop of the reference
+(psp_encoders.py:264-283) becomes one einsum (ops.masked_pool) — fully
+jittable, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e4s_tpu.ops.masked_pool import masked_region_mean
+from e4s_tpu.ops.resize import adaptive_avg_pool2d
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU over the channel axis (axis 1)."""
+
+    channel: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight", lambda key: jnp.full((self.channel,), 0.25)
+        ).astype(x.dtype)
+        w = w.reshape((1, -1) + (1,) * (x.ndim - 2))
+        return jnp.maximum(x, 0) + w * jnp.minimum(x, 0)
+
+
+class InstanceNorm(nn.Module):
+    """torch InstanceNorm2d defaults: affine=False, eps=1e-5 (no params)."""
+
+    eps: float = 1e-5
+
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        var = jnp.var(x, axis=(-2, -1), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm2d in eval mode (running stats), matching torch param names.
+
+    Stats live in the ``batch_stats`` collection (running_mean/running_var);
+    affine weight/bias in ``params``. All aux nets using BN are frozen and run
+    in eval mode in E4S (see SURVEY §2.10), so train-mode BN is not needed.
+    """
+
+    channel: int
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        mean = self.variable(
+            "batch_stats", "running_mean", jnp.zeros, (self.channel,)
+        ).value
+        var = self.variable(
+            "batch_stats", "running_var", jnp.ones, (self.channel,)
+        ).value
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        y = (x - mean.reshape(shape)) * jax.lax.rsqrt(
+            var.reshape(shape) + self.eps
+        )
+        if self.affine:
+            w = self.param("weight", nn.initializers.ones, (self.channel,))
+            b = self.param("bias", nn.initializers.zeros, (self.channel,))
+            y = y * w.reshape(shape) + b.reshape(shape)
+        return y
+
+
+class Conv(nn.Module):
+    """Plain torch-layout conv (OIHW weight, named 'weight'/'bias')."""
+
+    out_channel: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from e4s_tpu.ops import conv as convops
+
+        in_channel = x.shape[1]
+        fan_in = in_channel * self.kernel_size**2
+        bound = 1.0 / math.sqrt(fan_in)
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.out_channel, in_channel, self.kernel_size, self.kernel_size),
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.uniform(scale=2 * bound), (self.out_channel,)
+            )
+            if self.use_bias
+            else None
+        )
+        return convops.conv2d(
+            x, weight, bias=bias, stride=self.stride, padding=self.padding
+        )
+
+
+class SEModule(nn.Module):
+    """Squeeze-excitation. ref: src/models/encoders/helpers.py:56-72"""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        s = Conv(self.channels // self.reduction, 1, use_bias=False, name="fc1")(s)
+        s = jax.nn.relu(s)
+        s = Conv(self.channels, 1, use_bias=False, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class BottleneckIRSE(nn.Module):
+    """IR-SE residual unit; ``norm`` selects BatchNorm (ID-loss backbone,
+    ref: helpers.py:97-119) or InstanceNorm ("Ours" RGI encoder variant,
+    ref: helpers.py:122-144).
+    """
+
+    in_channel: int
+    depth: int
+    stride: int
+    norm: str = "bn"  # "bn" | "in"
+    use_se: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        def mk_norm(channel, name):
+            if self.norm == "in":
+                return InstanceNorm()
+            return FrozenBatchNorm(channel, name=name)
+
+        if self.in_channel == self.depth:
+            shortcut = x[:, :, :: self.stride, :: self.stride]  # MaxPool2d(1, s)
+        else:
+            shortcut = Conv(
+                self.depth, 1, stride=self.stride, use_bias=False,
+                name="shortcut_conv",
+            )(x)
+            shortcut = mk_norm(self.depth, "shortcut_norm")(shortcut)
+
+        res = mk_norm(self.in_channel, "res_norm1")(x)
+        res = Conv(self.depth, 3, padding=1, use_bias=False, name="res_conv1")(res)
+        res = PReLU(self.depth, name="res_prelu")(res)
+        res = Conv(
+            self.depth, 3, stride=self.stride, padding=1, use_bias=False,
+            name="res_conv2",
+        )(res)
+        res = mk_norm(self.depth, "res_norm2")(res)
+        if self.use_se:
+            res = SEModule(self.depth, 16, name="res_se")(res)
+        return res + shortcut
+
+
+def irse50_blocks():
+    """(in, depth, stride) per unit for the 50-layer net.
+    ref: src/models/encoders/helpers.py:29-36"""
+    blocks = []
+    for in_c, depth, n in ((64, 64, 3), (64, 128, 4), (128, 256, 14), (256, 512, 3)):
+        blocks.append((in_c, depth, 2))
+        blocks += [(depth, depth, 1)] * (n - 1)
+    return blocks
+
+
+def fsencoder_blocks():
+    """RGI encoder trunk config. ref: src/models/encoders/psp_encoders.py:242-247"""
+    blocks = []
+    for in_c, depth, n in ((64, 128, 3), (128, 256, 4), (256, 512, 14), (512, 512, 3)):
+        blocks.append((in_c, depth, 2))
+        blocks += [(depth, depth, 1)] * (n - 1)
+    return blocks
+
+
+class FSEncoderPSP(nn.Module):
+    """RGI texture extractor: IN-normalised IR-SE trunk + masked pooling.
+
+    forward(x[B,3,256,256], segmap[B,R,Hm,Wm]) ->
+      codes [B, R, 1280], structure_feats [B,512,16,16] (zeros, as reference).
+
+    ref: src/models/encoders/psp_encoders.py:238-308
+    """
+
+    num_seg_cls: int = 12
+
+    @nn.compact
+    def __call__(self, x, segmap):
+        x = Conv(64, 3, padding=1, use_bias=False, name="input_conv")(x)
+        x = InstanceNorm()(x)
+        x = PReLU(64, name="input_prelu")(x)
+
+        taps = {}
+        for i, (in_c, depth, stride) in enumerate(fsencoder_blocks()):
+            x = BottleneckIRSE(
+                in_c, depth, stride, norm="in", name=f"body_{i}"
+            )(x)
+            if i in (6, 20, 23):
+                taps[i] = x
+
+        structure_feats = jnp.zeros_like(x)
+        codes = jnp.concatenate(
+            [
+                masked_region_mean(taps[6], segmap),
+                masked_region_mean(taps[20], segmap),
+                masked_region_mean(taps[23], segmap),
+            ],
+            axis=-1,
+        )
+        return codes, structure_feats
+
+
+class IRSE50Backbone(nn.Module):
+    """ArcFace IR-SE50 recognition backbone (frozen; ID loss).
+
+    ref: src/models/encoders/model_irse.py:9-69 (input_size=112).
+    Returns l2-normalised multi-scale features [c1,c2,c3,c4,emb] when
+    ``multi_scale`` else [emb].
+    """
+
+    drop_ratio: float = 0.6  # inactive in eval mode
+
+    @nn.compact
+    def __call__(self, x, multi_scale: bool = True):
+        def l2n(v):
+            return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+        x = Conv(64, 3, padding=1, use_bias=False, name="input_conv")(x)
+        x = FrozenBatchNorm(64, name="input_bn")(x)
+        x = PReLU(64, name="input_prelu")(x)
+
+        feats = []
+        for i, (in_c, depth, stride) in enumerate(irse50_blocks()):
+            x = BottleneckIRSE(in_c, depth, stride, norm="bn", name=f"body_{i}")(x)
+            if multi_scale and i in (2, 6, 20, 23):
+                feats.append(x.reshape(x.shape[0], -1))
+
+        x = FrozenBatchNorm(512, name="output_bn")(x)
+        # Dropout inactive (eval); Flatten + Linear + BatchNorm1d(affine=False)
+        x = x.reshape(x.shape[0], -1)
+        w = self.param(
+            "output_linear_weight",
+            nn.initializers.normal(0.01),
+            (512, 512 * 7 * 7),
+        )
+        b = self.param("output_linear_bias", nn.initializers.zeros, (512,))
+        x = x @ w.T + b
+        x = FrozenBatchNorm(512, affine=False, name="output_bn1d")(
+            x[:, :, None, None]
+        )[:, :, 0, 0]
+
+        if multi_scale:
+            return [l2n(f) for f in feats] + [l2n(x)]
+        return [l2n(x)]
