@@ -1,0 +1,554 @@
+"""Training Coach — the full E4S GAN training loop, TPU-native.
+
+Parity target: src/training/coach.py (574 LoC). Structural translation:
+
+- DDP/NCCL process-per-GPU -> one process driving a ``jax.sharding.Mesh``;
+  the batch axis is sharded over the ``data`` axis and XLA inserts gradient
+  all-reduces over ICI (ref: coach.py:37-85 becomes e4s_tpu.parallel.mesh).
+- requires_grad juggling (ref: coach.py:325-338, networks.py:69-82) -> a
+  static gradient mask (``trainable_mask``) applied to G-step grads.
+- torch.optim.Adam / Ranger -> optax chains with the x0.1-at-100k schedule
+  (ref: coach.py:390-392) folded into the schedule.
+- EMA accumulate(0.9977...) (ref: coach.py:29, 394-398) -> a tree_map inside
+  the jitted G step (no separate pass over the weights).
+- D update every ``d_every`` steps + optional lazy R1 (ref: coach.py:290-321).
+- torch.save checkpoints -> orbax (ref: coach.py:493-517).
+
+Everything device-side is contained in two jitted steps (G and D), so a
+training step is exactly two XLA executions regardless of loss count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from e4s_tpu.criteria import (
+    FaceParsingLoss,
+    IDLoss,
+    StyleLoss,
+    adv_d_loss,
+    adv_g_loss,
+    w_norm_loss,
+)
+from e4s_tpu.models.lpips_nets import LPIPS
+from e4s_tpu.models.net3 import Net3
+from e4s_tpu.models.stylegan2 import Discriminator
+from e4s_tpu.ops.resize import adaptive_avg_pool2d
+from e4s_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from e4s_tpu.training.ranger import ranger
+from e4s_tpu.utils.img_utils import aggregate_loss_dict, label_map_to_onehot
+
+ACCUM = 0.5 ** (32 / (100 * 1000))  # ref: coach.py:29
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    noises: Any
+    opt_state: Any
+    ema_params: Any
+    latent_avg: jnp.ndarray
+    params_d: Any = None
+    opt_state_d: Any = None
+
+
+def trainable_mask(params, *, train_G: bool, remaining_layer_idx: int):
+    """True for trainable leaves; mirrors the reference freezing policy.
+
+    - G's 8-layer style MLP is always frozen (ref: networks.py:73-75).
+    - train_G=False freezes all of G (ref: networks.py:69-71).
+    - layers with style index >= K are frozen (ref: networks.py:78-82):
+      convs_j frozen iff j+1 >= K; to_rgbs_j frozen iff 2j+3 >= K.
+    """
+    K = remaining_layer_idx
+
+    def decide(path) -> bool:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if not keys or keys[0] != "G":
+            return True
+        if not train_G:
+            return False
+        sub = keys[1] if len(keys) > 1 else ""
+        if sub.startswith("style_"):
+            return False
+        if K != 17:
+            if sub.startswith("convs_"):
+                j = int(sub.rsplit("_", 1)[1])
+                if j + 1 >= K:
+                    return False
+            if sub.startswith("to_rgbs_"):
+                j = int(sub.rsplit("_", 1)[1])
+                if 2 * j + 3 >= K:
+                    return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
+
+
+def apply_mask(grads, mask):
+    return jax.tree_util.tree_map(
+        lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+    )
+
+
+class Coach:
+    def __init__(self, opts, dataset_override=None, init_rng: int = 0):
+        self.opts = opts
+        self.global_step = 0
+        self.mesh = make_mesh(getattr(opts, "n_devices", None) or None)
+        self.n_data = self.mesh.devices.shape[0]
+        self.global_batch = opts.batch_size * self.n_data
+
+        self.net = Net3(
+            num_seg_cls=opts.num_seg_cls,
+            out_size=opts.out_size,
+            remaining_layer_idx=opts.remaining_layer_idx,
+            n_styles=opts.n_styles,
+            start_from_latent_avg=opts.start_from_latent_avg,
+            learn_in_w=opts.learn_in_w,
+        )
+        self.D = Discriminator(size=opts.out_size) if opts.train_D else None
+
+        rng = jax.random.PRNGKey(init_rng)
+        k_net, k_d, k_noise, k_aux = jax.random.split(rng, 4)
+        S = opts.out_size
+        img0 = jnp.zeros((1, 3, S, S), jnp.float32)
+        mask0 = jnp.zeros((1, opts.num_seg_cls, S, S), jnp.float32)
+        latent_avg0 = jnp.zeros((opts.n_styles, 512), jnp.float32)
+
+        net_vars = jax.jit(
+            partial(self.net.init, randomize_noise=False), static_argnames=()
+        )({"params": k_net, "noise": k_noise}, img0, mask0, latent_avg=latent_avg0)
+        params = net_vars["params"]
+        noises = net_vars.get("noises", {})
+
+        params_d = None
+        if self.D is not None:
+            params_d = jax.jit(self.D.init)(k_d, img0)["params"]
+
+        # frozen loss nets
+        self.id_loss = IDLoss(multiscale=opts.id_loss_multiscale)
+        self.lpips = LPIPS(net_type="alex")
+        self.parsing_loss = FaceParsingLoss()
+        self.style_loss = StyleLoss(normalize=opts.style_loss_norm == 1)
+        ks = jax.random.split(k_aux, 4)
+        self.loss_vars = {}
+        if opts.id_lambda > 0:
+            self.loss_vars["id"] = jax.jit(self.id_loss.init)(ks[0], img0, img0)
+        if opts.lpips_lambda > 0:
+            self.loss_vars["lpips"] = jax.jit(self.lpips.init)(ks[1], img0, img0)
+        if opts.face_parsing_lambda > 0:
+            self.loss_vars["parsing"] = jax.jit(self.parsing_loss.init)(
+                ks[2], img0, img0
+            )
+        if opts.style_lambda > 0:
+            self.loss_vars["style"] = jax.jit(self.style_loss.init)(ks[3], img0, img0)
+
+        # optimizers (x0.1 at step 100k; ref: coach.py:390-392)
+        schedule = optax.piecewise_constant_schedule(
+            opts.learning_rate, {100_000: 0.1}
+        )
+        d_reg_ratio = (
+            opts.d_reg_every / (opts.d_reg_every + 1) if opts.d_reg_every > 0 else 1.0
+        )
+        d_schedule = optax.piecewise_constant_schedule(
+            opts.learning_rate * d_reg_ratio, {100_000: 0.1}
+        )
+        if opts.optim_name == "adam":
+            self.tx = optax.adam(schedule)
+            self.tx_d = optax.adam(d_schedule)
+        else:
+            self.tx = ranger(schedule)
+            self.tx_d = ranger(d_schedule)
+
+        self.mask_tree = trainable_mask(
+            params,
+            train_G=opts.train_G and opts.train_D,
+            remaining_layer_idx=opts.remaining_layer_idx,
+        )
+
+        self.state = TrainState(
+            step=jnp.zeros([], jnp.int32),
+            params=params,
+            noises=noises,
+            opt_state=self.tx.init(params),
+            # explicit copy: EMA must not alias the params buffers (donation)
+            ema_params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
+            latent_avg=latent_avg0,
+            params_d=params_d,
+            opt_state_d=self.tx_d.init(params_d) if params_d is not None else None,
+        )
+        self.state = replicate(self.state, self.mesh)
+
+        self.dataset_override = dataset_override
+        self._compiled_g = jax.jit(self._g_step, donate_argnums=(0,))
+        self._compiled_d = jax.jit(self._d_step, donate_argnums=(0,))
+        self._compiled_r1 = jax.jit(self._d_r1_step, donate_argnums=(0,))
+
+        self.checkpoint_dir = os.path.join(opts.exp_dir, "checkpoints")
+        self.log_path = os.path.join(opts.exp_dir, "logs", "metrics.jsonl")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        os.makedirs(os.path.dirname(self.log_path), exist_ok=True)
+        self.best_val_loss = None
+
+    # ------------------------------------------------------------------
+    # loss calc (ref: coach.py:403-453)
+    # ------------------------------------------------------------------
+
+    def _calc_loss(self, img, recon, mask, latent, latent_avg):
+        opts = self.opts
+        loss = 0.0
+        loss_dict = {}
+        if opts.face_parsing_lambda > 0:
+            lp, imp = self.parsing_loss.apply(self.loss_vars["parsing"], recon, img)
+            loss_dict["loss_face_parsing"] = lp
+            loss_dict["face_parsing_improve"] = imp
+            loss = loss + lp * opts.face_parsing_lambda
+        if opts.id_lambda > 0:
+            lid, sim = self.id_loss.apply(self.loss_vars["id"], recon, img)
+            loss_dict["loss_id"] = lid
+            loss_dict["id_improve"] = sim
+            loss = loss + lid * opts.id_lambda
+        if opts.l2_lambda > 0:
+            l2 = jnp.mean((recon - img) ** 2)
+            loss_dict["loss_l2"] = l2
+            loss = loss + l2 * opts.l2_lambda
+        if opts.lpips_lambda > 0:
+            llp = 0.0
+            for i in range(3):
+                s = opts.out_size // (2**i)
+                llp = llp + self.lpips.apply(
+                    self.loss_vars["lpips"],
+                    adaptive_avg_pool2d(recon, (s, s)),
+                    adaptive_avg_pool2d(img, (s, s)),
+                )
+            loss_dict["loss_lpips"] = llp
+            loss = loss + llp * opts.lpips_lambda
+        if opts.w_norm_lambda > 0:
+            lw = w_norm_loss(latent, latent_avg, opts.start_from_latent_avg)
+            loss_dict["loss_w_norm"] = lw
+            loss = loss + lw * opts.w_norm_lambda
+        if opts.style_lambda > 0:
+            hair = (mask == 3).astype(img.dtype)
+            ls = self.style_loss.apply(
+                self.loss_vars["style"], recon, img, mask_x=hair, mask_x_hat=hair
+            )
+            loss_dict["loss_style"] = ls
+            loss = loss + ls * opts.style_lambda
+        loss_dict["loss"] = loss
+        return loss, loss_dict
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _net_forward(self, params, noises, img, onehot, latent_avg, rng):
+        variables = {"params": params, "noises": noises}
+        return self.net.apply(
+            variables,
+            img,
+            onehot,
+            latent_avg=latent_avg,
+            randomize_noise=True,
+            return_latents=True,
+            rngs={"noise": rng},
+        )
+
+    def _g_step(self, state: TrainState, img, mask, onehot, rng):
+        opts = self.opts
+
+        def loss_fn(params):
+            recon, _, latent = self._net_forward(
+                params, state.noises, img, onehot, state.latent_avg, rng
+            )
+            loss, loss_dict = self._calc_loss(
+                img, recon, mask, latent, state.latent_avg
+            )
+            g_loss = 0.0
+            if self.D is not None:
+                fake_pred = self.D.apply({"params": state.params_d}, recon)
+                g_loss = adv_g_loss(fake_pred)
+            loss_dict["g_loss"] = g_loss
+            overall = loss + opts.g_adv_lambda * g_loss
+            loss_dict["loss"] = overall
+            return overall, loss_dict
+
+        grads, loss_dict = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = apply_mask(grads, self.mask_tree)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: ACCUM * e + (1 - ACCUM) * p, state.ema_params, new_params
+        )
+        new_state = dataclasses.replace(
+            state,
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        return new_state, loss_dict
+
+    def _d_step(self, state: TrainState, img, onehot, rng):
+        def loss_fn(params_d):
+            recon, _, _ = self._net_forward(
+                state.params, state.noises, img, onehot, state.latent_avg, rng
+            )
+            recon = jax.lax.stop_gradient(recon)
+            fake_pred = self.D.apply({"params": params_d}, recon)
+            real_pred = self.D.apply({"params": params_d}, img)
+            d_loss = adv_d_loss(real_pred, fake_pred)
+            return d_loss, {
+                "d_loss": d_loss,
+                "real_score": jnp.mean(real_pred),
+                "fake_score_1": jnp.mean(fake_pred),
+            }
+
+        grads, loss_dict = jax.grad(loss_fn, has_aux=True)(state.params_d)
+        updates, new_opt = self.tx_d.update(grads, state.opt_state_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, updates)
+        new_state = dataclasses.replace(
+            state, params_d=new_params_d, opt_state_d=new_opt
+        )
+        return new_state, loss_dict
+
+    def _d_r1_step(self, state: TrainState, img):
+        """Lazy R1 (ref: coach.py:311-321)."""
+        opts = self.opts
+
+        def loss_fn(params_d):
+            def score(x):
+                return jnp.sum(self.D.apply({"params": params_d}, x))
+
+            grad_real = jax.grad(score)(img)
+            r1 = jnp.mean(
+                jnp.sum(grad_real.reshape(grad_real.shape[0], -1) ** 2, axis=1)
+            )
+            return opts.r1_lambda / 2 * r1 * opts.d_reg_every, {"r1_loss": r1}
+
+        grads, loss_dict = jax.grad(loss_fn, has_aux=True)(state.params_d)
+        updates, new_opt = self.tx_d.update(grads, state.opt_state_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, updates)
+        return (
+            dataclasses.replace(state, params_d=new_params_d, opt_state_d=new_opt),
+            loss_dict,
+        )
+
+    # ------------------------------------------------------------------
+    # datasets
+    # ------------------------------------------------------------------
+
+    def configure_datasets(self):
+        from e4s_tpu.datasets.dataset import (
+            CelebAHQDataset,
+            DataLoader,
+            FFHQDataset,
+            SyntheticFaceDataset,
+        )
+
+        opts = self.opts
+        if self.dataset_override is not None:
+            train_ds = test_ds = self.dataset_override
+        elif opts.dataset_name == "ffhq":
+            train_ds = FFHQDataset(
+                opts.ffhq_dataset_root, fraction=opts.ds_frac, flip_p=opts.flip_p
+            )
+            test_ds = CelebAHQDataset(
+                opts.celeba_dataset_root, mode="test", fraction=opts.ds_frac
+            )
+        elif opts.dataset_name == "synthetic":
+            train_ds = test_ds = SyntheticFaceDataset(
+                size=opts.out_size, num_seg_cls=opts.num_seg_cls
+            )
+        else:
+            train_ds = CelebAHQDataset(
+                opts.celeba_dataset_root,
+                mode="train",
+                fraction=opts.ds_frac,
+                flip_p=opts.flip_p,
+            )
+            test_ds = CelebAHQDataset(
+                opts.celeba_dataset_root, mode="test", fraction=opts.ds_frac
+            )
+        train_loader = DataLoader(
+            train_ds,
+            self.global_batch,
+            shuffle=True,
+            drop_last=True,
+            seed=opts.seed,
+            num_seg_cls=opts.num_seg_cls,
+        )
+        test_loader = DataLoader(
+            test_ds,
+            self.global_batch,
+            shuffle=False,
+            drop_last=True,
+            num_seg_cls=opts.num_seg_cls,
+        )
+        return train_loader, test_loader
+
+    # ------------------------------------------------------------------
+    # the loop (ref: coach.py:275-401)
+    # ------------------------------------------------------------------
+
+    def train(self, max_steps: Optional[int] = None):
+        opts = self.opts
+        max_steps = max_steps if max_steps is not None else opts.max_steps
+        train_loader, test_loader = self.configure_datasets()
+        rng = jax.random.PRNGKey(opts.seed + 17)
+
+        while self.global_step <= max_steps:
+            for batch in train_loader:
+                if self.global_step > max_steps:
+                    break
+                img, label, onehot = batch
+                img, label, onehot = shard_batch(
+                    (
+                        img.astype(np.float32),
+                        label.astype(np.int32),
+                        onehot.astype(np.float32),
+                    ),
+                    self.mesh,
+                )
+                rng, k_d, k_g = jax.random.split(rng, 3)
+
+                d_loss_dict = {}
+                if self.D is not None and self.global_step % opts.d_every == 0:
+                    self.state, d_losses = self._compiled_d(
+                        self.state, img, onehot, k_d
+                    )
+                    d_loss_dict = {k: float(v) for k, v in d_losses.items()}
+                    if (
+                        opts.d_reg_every != -1
+                        and self.global_step % opts.d_reg_every == 0
+                    ):
+                        self.state, r1_losses = self._compiled_r1(self.state, img)
+                        d_loss_dict.update(
+                            {k: float(v) for k, v in r1_losses.items()}
+                        )
+
+                self.state, losses = self._compiled_g(
+                    self.state, img, label, onehot, k_g
+                )
+
+                if self.global_step % opts.board_interval == 0:
+                    loss_dict = {k: float(v) for k, v in losses.items()}
+                    loss_dict.update(d_loss_dict)
+                    self._log_metrics(loss_dict, prefix="train")
+
+                if (
+                    self.global_step % opts.val_interval == 0
+                    and self.global_step > 0
+                ) or self.global_step == max_steps:
+                    val_loss_dict = self.validate(test_loader, rng)
+                    if val_loss_dict and (
+                        self.best_val_loss is None
+                        or val_loss_dict["loss"] < self.best_val_loss
+                    ):
+                        self.best_val_loss = val_loss_dict["loss"]
+                        self.checkpoint_me(val_loss_dict, is_best=True)
+
+                if (
+                    self.global_step % opts.save_interval == 0
+                    and self.global_step > 0
+                ) or self.global_step == max_steps:
+                    self.checkpoint_me({}, is_best=False)
+
+                self.global_step += 1
+
+    def validate(self, test_loader, rng, max_batches: int = 16):
+        agg = []
+        for i, batch in enumerate(test_loader):
+            if i >= max_batches:
+                break
+            img, label, onehot = shard_batch(
+                (
+                    batch[0].astype(np.float32),
+                    batch[1].astype(np.int32),
+                    batch[2].astype(np.float32),
+                ),
+                self.mesh,
+            )
+            rng, k = jax.random.split(rng)
+            losses = self._eval_step(self.state, img, label, onehot, k)
+            agg.append({k2: float(v) for k2, v in losses.items()})
+        if not agg:
+            return None
+        loss_dict = aggregate_loss_dict(agg)
+        self._log_metrics(loss_dict, prefix="test")
+        return loss_dict
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _eval_step(self, state, img, mask, onehot, rng):
+        recon, _, latent = self._net_forward(
+            state.params, state.noises, img, onehot, state.latent_avg, rng
+        )
+        loss, loss_dict = self._calc_loss(img, recon, mask, latent, state.latent_avg)
+        if self.D is not None:
+            fake_pred = self.D.apply({"params": state.params_d}, recon)
+            g_loss = adv_g_loss(fake_pred)
+            loss_dict["g_loss"] = g_loss
+            loss_dict["loss"] = loss + self.opts.g_adv_lambda * g_loss
+        return loss_dict
+
+    # ------------------------------------------------------------------
+    # logging + checkpoints (ref: coach.py:455-517)
+    # ------------------------------------------------------------------
+
+    def _log_metrics(self, metrics: Dict[str, float], prefix: str):
+        record = {"step": self.global_step, "prefix": prefix, **metrics}
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        print(
+            f"[{prefix} step {self.global_step}] "
+            + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        )
+
+    def checkpoint_me(self, loss_dict, is_best: bool):
+        import orbax.checkpoint as ocp
+
+        name = "best_model" if is_best else f"iteration_{self.global_step}"
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, name))
+        ckpter = ocp.PyTreeCheckpointer()
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "noises": jax.device_get(self.state.noises),
+            "latent_avg": jax.device_get(self.state.latent_avg),
+            "step": self.global_step,
+        }
+        if self.state.params_d is not None:
+            payload["params_d"] = jax.device_get(self.state.params_d)
+        ckpter.save(path, payload, force=True)
+        with open(os.path.join(self.checkpoint_dir, "timestamp.txt"), "a") as f:
+            tag = "**Best**: " if is_best else ""
+            f.write(f"{tag}Step - {self.global_step}\n{loss_dict}\n")
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckpter = ocp.PyTreeCheckpointer()
+        payload = ckpter.restore(os.path.abspath(path))
+        self.state = dataclasses.replace(
+            self.state,
+            params=payload["params"],
+            ema_params=payload["ema_params"],
+            noises=payload.get("noises", self.state.noises),
+            latent_avg=jnp.asarray(payload["latent_avg"]),
+            params_d=payload.get("params_d", self.state.params_d),
+        )
+        self.state = replicate(self.state, self.mesh)
+        self.global_step = int(payload.get("step", 0)) + 1

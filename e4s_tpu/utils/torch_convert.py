@@ -1,0 +1,330 @@
+"""PyTorch checkpoint -> e4s_tpu param-tree converters.
+
+Maps the reference checkpoints onto our flax trees:
+- E4S ``iteration_300000.pt`` dict with ``state_dict`` / ``state_dict_ema`` /
+  ``latent_avg`` / ``D_state_dict`` (ref: src/training/coach.py:505-517).
+- rosinality StyleGAN2 ``stylegan2-ffhq-config-f.pt`` (keys ``g_ema``, ``d``,
+  ``latent_avg``) used to bootstrap training (ref: coach.py:106-136).
+- IR-SE50 ``model_ir_se50.pth``, parsing U-Net ``model.pth``, torchvision
+  AlexNet/VGG16 features + LPIPS lin weights.
+
+All convs stay OIHW (our native layout), so conversion is pure key renaming +
+a few squeezes. torch is only imported inside entry points (host-side tool,
+never on the compute path).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def remove_module_prefix(state_dict, prefix="module."):
+    """ref: src/utils/torch_utils.py:175-182"""
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v
+        for k, v in state_dict.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# IR-SE trunk pieces (shared by the RGI encoder and the ID-loss backbone)
+# ---------------------------------------------------------------------------
+
+
+def _convert_bottleneck(sd, torch_prefix, out, out_prefix, norm: str):
+    """bottleneck_IR_SE(_Ours): res_layer indices
+    0=norm 1=conv 2=prelu 3=conv 4=norm 5=SE; shortcut 0=conv 1=norm.
+    With InstanceNorm (affine=False) the norms carry no params."""
+    p, q = torch_prefix, out_prefix
+    if f"{p}.shortcut_layer.0.weight" in sd:
+        _set(out, q + ("shortcut_conv", "weight"), _np(sd[f"{p}.shortcut_layer.0.weight"]))
+        if norm == "bn":
+            _bn(sd, f"{p}.shortcut_layer.1", out, q + ("shortcut_norm",))
+    if norm == "bn":
+        _bn(sd, f"{p}.res_layer.0", out, q + ("res_norm1",))
+    _set(out, q + ("res_conv1", "weight"), _np(sd[f"{p}.res_layer.1.weight"]))
+    _set(out, q + ("res_prelu", "weight"), _np(sd[f"{p}.res_layer.2.weight"]))
+    _set(out, q + ("res_conv2", "weight"), _np(sd[f"{p}.res_layer.3.weight"]))
+    if norm == "bn":
+        _bn(sd, f"{p}.res_layer.4", out, q + ("res_norm2",))
+    _set(out, q + ("res_se", "fc1", "weight"), _np(sd[f"{p}.res_layer.5.fc1.weight"]))
+    _set(out, q + ("res_se", "fc2", "weight"), _np(sd[f"{p}.res_layer.5.fc2.weight"]))
+
+
+def _bn(sd, torch_prefix, out, out_path, stats_out=None):
+    """BatchNorm: weight/bias -> params; running stats -> batch_stats tree."""
+    if f"{torch_prefix}.weight" in sd:
+        _set(out, out_path + ("weight",), _np(sd[f"{torch_prefix}.weight"]))
+        _set(out, out_path + ("bias",), _np(sd[f"{torch_prefix}.bias"]))
+    tgt = stats_out if stats_out is not None else out
+    _set(tgt, out_path + ("running_mean",), _np(sd[f"{torch_prefix}.running_mean"]))
+    _set(tgt, out_path + ("running_var",), _np(sd[f"{torch_prefix}.running_var"]))
+
+
+def split_batch_stats(tree):
+    """Split a converted tree into (params, batch_stats) collections: any
+    leaf named running_mean/running_var moves to batch_stats."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif k in ("running_mean", "running_var"):
+                _set(stats, path + (k,), v)
+            else:
+                _set(params, path + (k,), v)
+
+    walk(tree, ())
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Net3
+# ---------------------------------------------------------------------------
+
+
+def convert_fsencoder(sd, prefix="encoder"):
+    out: Dict = {}
+    _set(out, ("input_conv", "weight"), _np(sd[f"{prefix}.input_layer.0.weight"]))
+    _set(out, ("input_prelu", "weight"), _np(sd[f"{prefix}.input_layer.2.weight"]))
+    i = 0
+    while f"{prefix}.body.{i}.res_layer.1.weight" in sd:
+        _convert_bottleneck(sd, f"{prefix}.body.{i}", out, (f"body_{i}",), norm="in")
+        i += 1
+    return out
+
+
+def convert_irse50(sd):
+    """model_ir_se50.pth (keys like input_layer.0.weight, body.0..., output_layer...)."""
+    out: Dict = {}
+    _set(out, ("input_conv", "weight"), _np(sd["input_layer.0.weight"]))
+    _bn(sd, "input_layer.1", out, ("input_bn",))
+    _set(out, ("input_prelu", "weight"), _np(sd["input_layer.2.weight"]))
+    i = 0
+    while f"body.{i}.res_layer.1.weight" in sd:
+        _convert_bottleneck(sd, f"body.{i}", out, (f"body_{i}",), norm="bn")
+        i += 1
+    _bn(sd, "output_layer.0", out, ("output_bn",))
+    _set(out, ("output_linear_weight",), _np(sd["output_layer.3.weight"]))
+    _set(out, ("output_linear_bias",), _np(sd["output_layer.3.bias"]))
+    _bn(sd, "output_layer.4", out, ("output_bn1d",))
+    return out
+
+
+def convert_local_mlps(sd, num_seg_cls=12):
+    out: Dict = {}
+    for i in range(num_seg_cls):
+        _set(out, (f"MLPs_{i}", "fc1", "weight"), _np(sd[f"MLPs.{i}.mlp.0.weight"]))
+        _set(out, (f"MLPs_{i}", "fc1", "bias"), _np(sd[f"MLPs.{i}.mlp.0.bias"]))
+        _set(out, (f"MLPs_{i}", "fc2", "weight"), _np(sd[f"MLPs.{i}.mlp.2.weight"]))
+        _set(out, (f"MLPs_{i}", "fc2", "bias"), _np(sd[f"MLPs.{i}.mlp.2.bias"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 generator / discriminator
+# ---------------------------------------------------------------------------
+
+
+def _convert_modconv(sd, p, out, q):
+    _set(out, q + ("weight",), _np(sd[f"{p}.weight"]).squeeze(0))  # [1,O,I,k,k]->OIHW
+    _set(out, q + ("modulation", "weight"), _np(sd[f"{p}.modulation.weight"]))
+    _set(out, q + ("modulation", "bias"), _np(sd[f"{p}.modulation.bias"]))
+
+
+def _convert_styled_conv(sd, p, out, q):
+    _convert_modconv(sd, f"{p}.conv", out, q + ("conv",))
+    _set(out, q + ("noise", "weight"), _np(sd[f"{p}.noise.weight"]))
+    _set(out, q + ("activate", "bias"), _np(sd[f"{p}.activate.bias"]))
+
+
+def _convert_to_rgb(sd, p, out, q):
+    _convert_modconv(sd, f"{p}.conv", out, q + ("conv",))
+    _set(out, q + ("bias",), _np(sd[f"{p}.bias"]))
+
+
+def convert_generator(sd, prefix=""):
+    """g_ema / G state dict -> params tree (+ 'noises' via extract_noises)."""
+    pre = prefix + "." if prefix else ""
+    out: Dict = {}
+    for i in range(1, 9):
+        _set(out, (f"style_{i}", "weight"), _np(sd[f"{pre}style.{i}.weight"]))
+        _set(out, (f"style_{i}", "bias"), _np(sd[f"{pre}style.{i}.bias"]))
+    _set(out, ("input",), _np(sd[f"{pre}input.input"]))
+    _convert_styled_conv(sd, f"{pre}conv1", out, ("conv1",))
+    _convert_to_rgb(sd, f"{pre}to_rgb1", out, ("to_rgb1",))
+    j = 0
+    while f"{pre}convs.{j}.conv.weight" in sd:
+        _convert_styled_conv(sd, f"{pre}convs.{j}", out, (f"convs_{j}",))
+        j += 1
+    j = 0
+    while f"{pre}to_rgbs.{j}.conv.weight" in sd:
+        _convert_to_rgb(sd, f"{pre}to_rgbs.{j}", out, (f"to_rgbs_{j}",))
+        j += 1
+    return out
+
+
+def extract_generator_noises(sd, prefix=""):
+    pre = prefix + "." if prefix else ""
+    noises = {}
+    i = 0
+    while f"{pre}noises.noise_{i}" in sd:
+        noises[f"noise_{i}"] = _np(sd[f"{pre}noises.noise_{i}"])
+        i += 1
+    return noises
+
+
+def _convert_conv_layer(sd, p, out, q, downsample: bool, activate: bool = True):
+    """ConvLayer Sequential indices: [Blur?] conv [activate?]."""
+    idx = 1 if downsample else 0
+    _set(out, q + ("conv", "weight"), _np(sd[f"{p}.{idx}.weight"]))
+    if f"{p}.{idx}.bias" in sd:
+        _set(out, q + ("conv", "bias"), _np(sd[f"{p}.{idx}.bias"]))
+    if activate and f"{p}.{idx + 1}.bias" in sd:
+        _set(out, q + ("activate", "bias"), _np(sd[f"{p}.{idx + 1}.bias"]))
+
+
+def convert_discriminator(sd, prefix=""):
+    pre = prefix + "." if prefix else ""
+    out: Dict = {}
+    _convert_conv_layer(sd, f"{pre}convs.0", out, ("convs_0",), downsample=False)
+    j = 1
+    while f"{pre}convs.{j}.conv1.0.weight" in sd:
+        q = (f"convs_{j}",)
+        _convert_conv_layer(sd, f"{pre}convs.{j}.conv1", out, q + ("conv1",), False)
+        _convert_conv_layer(sd, f"{pre}convs.{j}.conv2", out, q + ("conv2",), True)
+        _convert_conv_layer(
+            sd, f"{pre}convs.{j}.skip", out, q + ("skip",), True, activate=False
+        )
+        j += 1
+    _convert_conv_layer(sd, f"{pre}final_conv", out, ("final_conv",), False)
+    _set(out, ("final_linear_0", "weight"), _np(sd[f"{pre}final_linear.0.weight"]))
+    _set(out, ("final_linear_0", "bias"), _np(sd[f"{pre}final_linear.0.bias"]))
+    _set(out, ("final_linear_1", "weight"), _np(sd[f"{pre}final_linear.1.weight"]))
+    _set(out, ("final_linear_1", "bias"), _np(sd[f"{pre}final_linear.1.bias"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Net3 checkpoint (iteration_300000.pt style)
+# ---------------------------------------------------------------------------
+
+
+def convert_net3_state_dict(sd, num_seg_cls=12):
+    """Full Net3 state dict -> ({'params':..., 'noises':...}, latent_avg=None).
+
+    The caller handles the checkpoint dict wrapper (state_dict / latent_avg).
+    """
+    sd = remove_module_prefix(sd)
+    params: Dict = {}
+    params["encoder"] = convert_fsencoder(sd, prefix="encoder")
+    params.update(convert_local_mlps(sd, num_seg_cls))
+    params["G"] = convert_generator(sd, prefix="G")
+    noises = {"G": extract_generator_noises(sd, prefix="G")}
+    return {"params": params, "noises": noises}
+
+
+def load_e4s_checkpoint(path, num_seg_cls=12):
+    """Load iteration_300000.pt -> (variables, ema_params, latent_avg, d_params).
+
+    ref: scripts/face_swap.py:374-376, src/training/coach.py:88-103.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    variables = convert_net3_state_dict(ckpt["state_dict"], num_seg_cls)
+    ema = None
+    if "state_dict_ema" in ckpt:
+        ema = convert_net3_state_dict(ckpt["state_dict_ema"], num_seg_cls)
+    latent_avg = _np(ckpt["latent_avg"]) if "latent_avg" in ckpt else None
+    d_params = None
+    if "D_state_dict" in ckpt:
+        d_params = convert_discriminator(remove_module_prefix(ckpt["D_state_dict"]))
+    return variables, ema, latent_avg, d_params
+
+
+def load_stylegan2_checkpoint(path):
+    """rosinality stylegan2-ffhq-config-f.pt -> (g_params, g_noises, d_params,
+    latent_avg). ref: src/training/coach.py:106-136."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    g = convert_generator(ckpt["g_ema"])
+    noises = extract_generator_noises(ckpt["g_ema"])
+    d = convert_discriminator(ckpt["d"]) if "d" in ckpt else None
+    latent_avg = _np(ckpt["latent_avg"]) if "latent_avg" in ckpt else None
+    return g, noises, d, latent_avg
+
+
+# ---------------------------------------------------------------------------
+# Aux nets
+# ---------------------------------------------------------------------------
+
+
+def convert_unet(sd):
+    """Parsing U-Net model.pth -> (params, batch_stats)."""
+    out: Dict = {}
+
+    def conv_bn_block(p, q):
+        # unetConv2: conv1/conv2 = Sequential(Conv, BN, ReLU)
+        for idx in (1, 2):
+            _set(out, q + (f"conv{idx}", "weight"), _np(sd[f"{p}.conv{idx}.0.weight"]))
+            _set(out, q + (f"conv{idx}", "bias"), _np(sd[f"{p}.conv{idx}.0.bias"]))
+            _bn(sd, f"{p}.conv{idx}.1", out, q + (f"bn{idx}",))
+
+    for name in ("conv1", "conv2", "conv3", "conv4", "center"):
+        conv_bn_block(name, (name,))
+    for name in ("up_concat4", "up_concat3", "up_concat2", "up_concat1"):
+        _set(out, (name, "up_weight"), _np(sd[f"{name}.up.weight"]))
+        _set(out, (name, "up_bias"), _np(sd[f"{name}.up.bias"]))
+        conv_bn_block(f"{name}.conv", (name, "conv"))
+    _set(out, ("final", "weight"), _np(sd["final.weight"]))
+    _set(out, ("final", "bias"), _np(sd["final.bias"]))
+    return split_batch_stats(out)
+
+
+def convert_alexnet_features(sd, prefix="features"):
+    """torchvision alexnet state dict -> AlexNetFeatures params."""
+    out: Dict = {}
+    torch_ids = (0, 3, 6, 8, 10)
+    for i, tid in enumerate(torch_ids):
+        _set(out, (f"conv{i}", "weight"), _np(sd[f"{prefix}.{tid}.weight"]))
+        _set(out, (f"conv{i}", "bias"), _np(sd[f"{prefix}.{tid}.bias"]))
+    return out
+
+
+def convert_vgg16_features(sd, prefix="features"):
+    out: Dict = {}
+    torch_ids = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    for i, tid in enumerate(torch_ids):
+        _set(out, (f"conv{i}", "weight"), _np(sd[f"{prefix}.{tid}.weight"]))
+        _set(out, (f"conv{i}", "bias"), _np(sd[f"{prefix}.{tid}.bias"]))
+    return out
+
+
+def convert_lpips_lin(sd, n_layers=5):
+    """richzhang LPIPS lin state dict (keys like lin0.model.1.weight or
+    0.1.weight depending on release) -> {'lin_i': [1,C,1,1]}."""
+    out: Dict = {}
+    for i in range(n_layers):
+        for key in (f"lin{i}.model.1.weight", f"{i}.1.weight", f"lin{i}.weight"):
+            if key in sd:
+                out[f"lin_{i}"] = _np(sd[key])
+                break
+    return out

@@ -1,0 +1,139 @@
+"""End-to-end training smoke test on the virtual 8-device CPU mesh.
+
+Runs real G and D steps (all losses active) of a small-config coach over the
+synthetic dataset, sharded batch over the data axis — the JAX-native "fake
+cluster" test of the reference's DDP training (SURVEY §2.10).
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from e4s_tpu.training.coach import Coach, TrainState, trainable_mask
+
+
+def small_opts(**kw):
+    base = dict(
+        exp_dir="/tmp/e4s_tpu_test_exp",
+        num_seg_cls=12,
+        out_size=64,
+        remaining_layer_idx=7,
+        n_styles=10,
+        start_from_latent_avg=True,
+        learn_in_w=False,
+        train_G=True,
+        train_D=True,
+        n_devices=None,
+        d_reg_every=-1,
+        d_every=2,
+        max_steps=3,
+        board_interval=1,
+        val_interval=1000,
+        save_interval=1000,
+        image_interval=1000,
+        seed=0,
+        learning_rate=1e-4,
+        optim_name="adam",
+        batch_size=1,
+        dataset_name="synthetic",
+        ds_frac=1.0,
+        flip_p=0.5,
+        # loss lambdas
+        lpips_lambda=0.8,
+        id_lambda=0.1,
+        id_loss_multiscale=True,
+        face_parsing_lambda=0.1,
+        l2_lambda=1.0,
+        w_norm_lambda=0.0,
+        r1_lambda=10.0,
+        g_adv_lambda=0.01,
+        style_lambda=0.0,
+        style_loss_norm=1,
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.mark.slow
+def test_coach_trains_on_8dev_mesh(tmp_path):
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    opts = small_opts(exp_dir=str(tmp_path))
+    coach = Coach(opts)
+    assert coach.n_data == 8
+    assert coach.global_batch == 8
+
+    params_before = jax.device_get(
+        coach.state.params["MLPs_0"]["fc1"]["weight"]
+    )
+    g_before = jax.device_get(
+        coach.state.params["G"]["convs_0"]["conv"]["weight"]
+    )
+    style_before = jax.device_get(
+        coach.state.params["G"]["style_1"]["weight"]
+    )
+    frozen_conv_before = jax.device_get(
+        coach.state.params["G"]["convs_7"]["conv"]["weight"]  # layer idx 8 >= K=7
+    )
+
+    coach.train(max_steps=2)
+
+    params_after = jax.device_get(coach.state.params["MLPs_0"]["fc1"]["weight"])
+    g_after = jax.device_get(coach.state.params["G"]["convs_0"]["conv"]["weight"])
+    style_after = jax.device_get(coach.state.params["G"]["style_1"]["weight"])
+    frozen_conv_after = jax.device_get(
+        coach.state.params["G"]["convs_7"]["conv"]["weight"]
+    )
+
+    assert not np.allclose(params_before, params_after), "MLPs should train"
+    assert not np.allclose(g_before, g_after), "early G convs should train"
+    np.testing.assert_array_equal(style_before, style_after)  # style MLP frozen
+    np.testing.assert_array_equal(frozen_conv_before, frozen_conv_after)
+    # metrics written
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_trainable_mask_rules():
+    params = {
+        "encoder": {"w": np.zeros(1)},
+        "MLPs_0": {"w": np.zeros(1)},
+        "G": {
+            "style_1": {"weight": np.zeros(1)},
+            "conv1": {"conv": {"weight": np.zeros(1)}},
+            "convs_0": {"conv": {"weight": np.zeros(1)}},
+            "convs_12": {"conv": {"weight": np.zeros(1)}},  # layer 13 >= K
+            "to_rgbs_0": {"conv": {"weight": np.zeros(1)}},
+            "to_rgbs_5": {"conv": {"weight": np.zeros(1)}},  # 2*5+3=13 >= K
+        },
+    }
+    mask = trainable_mask(params, train_G=True, remaining_layer_idx=13)
+    assert mask["encoder"]["w"] and mask["MLPs_0"]["w"]
+    assert not mask["G"]["style_1"]["weight"]
+    assert mask["G"]["conv1"]["conv"]["weight"]
+    assert mask["G"]["convs_0"]["conv"]["weight"]
+    assert not mask["G"]["convs_12"]["conv"]["weight"]
+    assert mask["G"]["to_rgbs_0"]["conv"]["weight"]
+    assert not mask["G"]["to_rgbs_5"]["conv"]["weight"]
+
+    mask_frozen_g = trainable_mask(params, train_G=False, remaining_layer_idx=13)
+    assert not mask_frozen_g["G"]["conv1"]["conv"]["weight"]
+    assert mask_frozen_g["encoder"]["w"]
+
+
+def test_ranger_optimizer_steps():
+    import optax
+
+    from e4s_tpu.training.ranger import ranger
+
+    tx = ranger(1e-2)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    state = tx.init(params)
+    for i in range(8):
+        grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.1, params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert np.all(np.isfinite(np.asarray(params["w"])))
+    assert float(jnp.mean(params["w"])) < 1.0  # moved against the gradient
