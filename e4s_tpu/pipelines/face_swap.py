@@ -1,0 +1,211 @@
+"""End-to-end face-swapping pipeline.
+
+Parity target: scripts/face_swap.py:149-331 (faceSwapping_pipeline). Stages:
+
+  (1) optional dlib crop+align (host; default path resizes to 1024^2, ref
+      :189-192)
+  (2) re-enactment of S by T (FaceVid2Vid) + restoration (GPEN) — injectable;
+      identity fallback (D = S) when the aux models are unavailable
+  (3) RGI style extraction for D and T          [device, jitted]
+  (4) mask swap (host numpy) + texture swap     [device]
+  (5) mask-guided synthesis                     [device, jitted]
+  (6) stitching: Gaussian-feathered paste or Laplacian multi-band blending
+      [device], then optional inverse-perspective paste to the original frame
+      (host PIL)
+
+Stages 3-6 run as one jitted core per variant (see swap_core.py), so a swap is
+a fixed number of TPU launches regardless of image content.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e4s_tpu.datasets.dataset import label_map_to_onehot
+from e4s_tpu.models.net3 import Net3
+from e4s_tpu.ops.blending import blend_images
+from e4s_tpu.ops.morphology import create_masks
+from e4s_tpu.ops.resize import bilinear_resize
+from e4s_tpu.pipelines.model_io import load_face_parser, load_net3
+from e4s_tpu.pipelines.swap_core import make_swap_core, stitch_foreground
+from e4s_tpu.utils.img_utils import tensor2im, vis_mask_in_color
+from e4s_tpu.utils.swap_mask import swap_head_mask
+
+
+class FaceSwapper:
+    """Holds the loaded models + jitted cores; call ``swap`` per pair."""
+
+    def __init__(self, opts, reenactor=None, restorer=None):
+        self.opts = opts
+        self.net, self.variables, self.latent_avg = load_net3(opts)
+        self.parser = load_face_parser(
+            opts, getattr(opts, "faceParsing_ckpt", None)
+        )
+        self.reenactor = reenactor  # FaceVid2Vid driver: (S01, T01) -> D01
+        self.restorer = restorer  # GPEN: D01 -> D01 restored
+        self._swap_core = jax.jit(make_swap_core(self.net))
+        self._stitch = jax.jit(stitch_foreground, static_argnames=("outer_dilation",))
+
+    # -------------------------- host helpers --------------------------
+
+    def _load_1024(self, path):
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize((1024, 1024))
+        return np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))[None]
+
+    def _parse12(self, arr01):
+        from e4s_tpu.models.bisenet import face_parsing_demo
+
+        return face_parsing_demo(self.parser, jnp.asarray(arr01), True)
+
+    # ----------------------------- main --------------------------------
+
+    def swap(
+        self,
+        source: str,
+        target: str,
+        save_dir: Optional[str] = None,
+        target_mask: Optional[np.ndarray] = None,
+        need_crop: bool = False,
+        verbose: bool = False,
+        only_target_crop: bool = False,
+    ):
+        """ref: scripts/face_swap.py:149-331. Returns the pasted PIL image."""
+        from PIL import Image
+
+        opts = self.opts
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+        result_name = "swap_%s_to_%s.png" % (
+            os.path.basename(source).split(".")[0],
+            os.path.basename(target).split(".")[0],
+        )
+
+        inv_transforms = orig_images = None
+        if only_target_crop or need_crop:
+            from e4s_tpu.utils.alignment import crop_and_align_face
+
+            files = [(os.path.basename(f).split(".")[0], f) for f in (source, target)]
+            sel = files[1:] if only_target_crop else files
+            crops, orig_images, quads, inv_transforms = crop_and_align_face(sel)
+            crops = [c.convert("RGB") for c in crops]
+            if only_target_crop:
+                T01 = np.transpose(np.asarray(crops[0], np.float32) / 255.0, (2, 0, 1))[None]
+                S01 = self._load_1024(source)
+            else:
+                S01 = np.transpose(np.asarray(crops[0], np.float32) / 255.0, (2, 0, 1))[None]
+                T01 = np.transpose(np.asarray(crops[1], np.float32) / 255.0, (2, 0, 1))[None]
+        else:
+            S01 = self._load_1024(source)
+            T01 = self._load_1024(target)
+
+        # (2) re-enact S with T's pose, then restore
+        if self.reenactor is not None:
+            D01 = self.reenactor(S01, T01)
+            if self.restorer is not None:
+                D01 = self.restorer(D01)
+        else:
+            D01 = S01  # fallback: use the source directly
+
+        # parse masks (12-class)
+        T_mask = self._parse12(T01)[0] if target_mask is None else target_mask
+        D_mask = self._parse12(D01)[0]
+        if verbose and save_dir:
+            Image.fromarray(T_mask.astype(np.uint8)).save(
+                os.path.join(save_dir, "T_mask.png")
+            )
+            Image.fromarray(D_mask.astype(np.uint8)).save(
+                os.path.join(save_dir, "D_mask.png")
+            )
+            Image.fromarray(vis_mask_in_color(T_mask)).save(
+                os.path.join(save_dir, "T_mask_vis.png")
+            )
+
+        # (4) mask swap on host numpy (ref: face_swap.py:253)
+        swapped_msk, hole_map = swap_head_mask(D_mask, T_mask)
+        if verbose and save_dir:
+            Image.fromarray(swapped_msk.astype(np.uint8)).save(
+                os.path.join(save_dir, "swappedMask.png")
+            )
+            Image.fromarray(vis_mask_in_color(swapped_msk)).save(
+                os.path.join(save_dir, "swappedMaskVis.png")
+            )
+
+        driven = jnp.asarray(D01 * 2 - 1)
+        target_t = jnp.asarray(T01 * 2 - 1)
+        d_onehot = jnp.asarray(label_map_to_onehot(D_mask[None, None], opts.num_seg_cls))
+        t_onehot = jnp.asarray(label_map_to_onehot(T_mask[None, None], opts.num_seg_cls))
+        s_onehot = jnp.asarray(
+            label_map_to_onehot(swapped_msk[None, None], opts.num_seg_cls)
+        )
+
+        # (3)+(5) one jitted core
+        swapped_face = self._swap_core(
+            self.variables, driven, target_t, d_onehot, t_onehot, s_onehot,
+            self.latent_avg,
+        )
+
+        # (6) stitch
+        outer_dilation = 5  # ref: face_swap.py:279
+        label_t = jnp.asarray(swapped_msk[None, None].astype(np.int32))
+        hole_t = jnp.asarray(hole_map[None, None].astype(np.int32))
+        if getattr(opts, "lap_bld", False):
+            mask_bg = (label_t == 0) | (label_t == 11) | (label_t == 4)
+            fg = (~mask_bg | (hole_t == 255)).astype(jnp.float32)
+            content_mask, border_mask, _ = create_masks(
+                fg, outer_dilation=outer_dilation, operation="expansion"
+            )
+            content_mask = bilinear_resize(content_mask, (1024, 1024))
+            border_mask = bilinear_resize(border_mask, (1024, 1024))
+            swapped01 = (swapped_face + 1) / 2 * 255.0
+            target255 = jnp.asarray(T01) * 255.0
+            pasted = swapped01 * content_mask + target255 * (1 - content_mask)
+            blended = blend_images(
+                target255, pasted, jnp.repeat(border_mask, 3, axis=1)
+            )
+            out01 = np.asarray(blended[0]) / 255.0
+            result = Image.fromarray(
+                np.transpose(np.clip(out01 * 255, 0, 255), (1, 2, 0)).astype(np.uint8)
+            )
+        else:
+            stitched = self._stitch(
+                swapped_face, target_t, label_t, hole_t,
+                outer_dilation=outer_dilation,
+            )
+            result = tensor2im(np.asarray(stitched[0]))
+
+        # restore into the original frame if cropped
+        if (only_target_crop or need_crop) and inv_transforms is not None:
+            idx = 0 if only_target_crop else 1
+            coeffs, orig_image = inv_transforms[idx], orig_images[idx]
+            swapped_rgba = result.convert("RGBA")
+            swapped_rgba.putalpha(255)
+            projected = swapped_rgba.transform(
+                orig_image.size, Image.PERSPECTIVE, coeffs, Image.BILINEAR
+            )
+            pasted_image = orig_image.convert("RGBA")
+            pasted_image.alpha_composite(projected)
+            result = pasted_image
+
+        if save_dir:
+            result.save(os.path.join(save_dir, result_name))
+        return result
+
+
+def faceSwapping_pipeline(
+    source, target, opts, save_dir, target_mask=None, need_crop=False,
+    verbose=False, only_target_crop=False, reenactor=None, restorer=None,
+):
+    """Functional wrapper matching the reference signature
+    (ref: scripts/face_swap.py:149-150)."""
+    swapper = FaceSwapper(opts, reenactor=reenactor, restorer=restorer)
+    return swapper.swap(
+        source, target, save_dir=save_dir, target_mask=target_mask,
+        need_crop=need_crop, verbose=verbose, only_target_crop=only_target_crop,
+    )

@@ -1,0 +1,175 @@
+"""Iterative latent-refinement (inversion) pipeline — scanned on device.
+
+Parity target: scripts/optimization.py (Optimizer.invertion). The reference
+runs 200 Python-loop Adam steps with a backward per step; here the whole
+refinement is ONE jitted ``lax.scan`` over an optax step on the [1,R,1280]
+style-vector leaf — 200 steps execute on-device with no host round-trips
+(BASELINE config #4).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from e4s_tpu.criteria import FaceParsingLoss, IDLoss
+from e4s_tpu.models.lpips_nets import LPIPS
+from e4s_tpu.models.net3 import Net3
+from e4s_tpu.ops.resize import adaptive_avg_pool2d
+from e4s_tpu.pipelines.model_io import load_net3
+from e4s_tpu.utils.img_utils import tensor2im
+
+
+def make_optimizer(name: str, lr: float):
+    """ref: scripts/optimization.py:126-133 (sgd | adam | sgdm | adamax)."""
+    if name == "sgd":
+        return optax.sgd(lr)
+    if name == "sgdm":
+        return optax.sgd(lr, momentum=0.9)
+    if name == "adamax":
+        return optax.adamax(lr)
+    return optax.adam(lr)
+
+
+class Optimizer:
+    """ref: scripts/optimization.py:52-255"""
+
+    def __init__(self, opts, dataset=None):
+        self.opts = opts
+        if dataset is not None:
+            self.test_ds = dataset
+        else:
+            from e4s_tpu.datasets.dataset import CelebAHQDataset
+
+            self.test_ds = CelebAHQDataset(
+                dataset_root=opts.dataset_root, mode="test", fraction=opts.ds_frac
+            )
+        self.net, self.variables, self.latent_avg = load_net3(opts)
+
+        self.id_loss = IDLoss(multiscale=opts.id_loss_multiscale)
+        self.lpips = LPIPS(net_type="alex")
+        self.parsing_loss = FaceParsingLoss()
+        S = opts.out_size
+        img0 = jnp.zeros((1, 3, S, S), jnp.float32)
+        k = jax.random.PRNGKey(0)
+        self.loss_vars = {}
+        if opts.id_lambda > 0:
+            self.loss_vars["id"] = jax.jit(self.id_loss.init)(k, img0, img0)
+        if opts.lpips_lambda > 0:
+            self.loss_vars["lpips"] = jax.jit(self.lpips.init)(k, img0, img0)
+        if opts.face_parsing_lambda > 0:
+            self.loss_vars["parsing"] = jax.jit(self.parsing_loss.init)(k, img0, img0)
+
+        self.tx = make_optimizer(opts.opt_name, opts.lr)
+        self._scan_refine = jax.jit(
+            self._refine, static_argnames=("n_steps", "save_every")
+        )
+
+    # loss on the recon (ref: optimization.py:91-122)
+    def _calc_loss(self, img, recon):
+        opts = self.opts
+        loss = 0.0
+        aux = {}
+        if opts.id_lambda > 0:
+            lid, _ = self.id_loss.apply(self.loss_vars["id"], recon, img)
+            aux["loss_id"] = lid
+            loss = loss + lid * opts.id_lambda
+        if opts.l2_lambda > 0:
+            l2 = jnp.mean((recon - img) ** 2)
+            aux["loss_l2"] = l2
+            loss = loss + l2 * opts.l2_lambda
+        if opts.lpips_lambda > 0:
+            lp = 0.0
+            for i in range(3):
+                s = opts.out_size // (2**i)
+                lp = lp + self.lpips.apply(
+                    self.loss_vars["lpips"],
+                    adaptive_avg_pool2d(recon, (s, s)),
+                    adaptive_avg_pool2d(img, (s, s)),
+                )
+            aux["loss_lpips"] = lp
+            loss = loss + lp * opts.lpips_lambda
+        if opts.face_parsing_lambda > 0:
+            lpar, _ = self.parsing_loss.apply(self.loss_vars["parsing"], recon, img)
+            aux["loss_face_parsing"] = lpar
+            loss = loss + lpar * opts.face_parsing_lambda
+        aux["loss"] = loss
+        return loss, aux
+
+    def _gen_from_sv(self, style_vectors, onehot):
+        codes = self.net.apply(
+            self.variables, style_vectors, self.latent_avg,
+            method=Net3.cal_style_codes,
+        )
+        struc = jnp.zeros((style_vectors.shape[0], 512, 32, 32), jnp.float32)
+        img, _, _ = self.net.apply(
+            self.variables, struc, codes, onehot,
+            method=Net3.gen_img, randomize_noise=False,
+        )
+        return img
+
+    def _refine(self, sv_init, img, onehot, n_steps: int, save_every: int):
+        tx = self.tx
+
+        def loss_fn(sv):
+            recon = self._gen_from_sv(sv, onehot)
+            loss, aux = self._calc_loss(img, recon)
+            return loss, aux
+
+        def step(carry, _):
+            sv, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(sv)
+            updates, opt_state = tx.update(grads, opt_state, sv)
+            sv = optax.apply_updates(sv, updates)
+            return (sv, opt_state), aux["loss"]
+
+        opt_state = tx.init(sv_init)
+        (sv, _), losses = jax.lax.scan(
+            step, (sv_init, opt_state), None, length=n_steps
+        )
+        recon = self._gen_from_sv(sv, onehot)
+        return sv, recon, losses
+
+    def invertion(self, sample_idx: int, save: bool = True):
+        """ref: scripts/optimization.py:163-241"""
+        from e4s_tpu.datasets.dataset import label_map_to_onehot
+
+        opts = self.opts
+        img_np, label_np, _ = self.test_ds[sample_idx]
+        img = jnp.asarray(img_np[None])
+        onehot = jnp.asarray(
+            label_map_to_onehot(label_np[None], opts.num_seg_cls)
+        )
+
+        sv_init, _ = self.net.apply(
+            self.variables, img, onehot, method=Net3.get_style_vectors
+        )
+        recon0 = self._gen_from_sv(sv_init, onehot)
+
+        sv, recon, losses = self._scan_refine(
+            sv_init, img, onehot,
+            n_steps=opts.W_steps, save_every=opts.save_interval,
+        )
+
+        if save:
+            name = f"sample_{sample_idx}"
+            folder = os.path.join(opts.output_dir, name)
+            os.makedirs(folder, exist_ok=True)
+            tensor2im(np.asarray(img[0])).save(os.path.join(folder, f"{name}_gt.png"))
+            tensor2im(np.asarray(recon0[0])).save(
+                os.path.join(folder, f"{name}_recon.png")
+            )
+            tensor2im(np.asarray(recon[0])).save(
+                os.path.join(folder, f"{name}_{opts.W_steps:04d}.png")
+            )
+            np.save(
+                os.path.join(folder, f"{name}_{opts.W_steps:04d}.npy"),
+                np.asarray(sv),
+            )
+        return sv, recon, np.asarray(losses)

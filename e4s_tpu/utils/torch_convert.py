@@ -318,6 +318,69 @@ def convert_vgg16_features(sd, prefix="features"):
     return out
 
 
+def convert_bisenet(sd):
+    """face-parsing.PyTorch 79999_iter.pth -> (params, batch_stats).
+
+    torch names: cp.resnet.conv1..., cp.arm16/arm32..., cp.conv_head16/32,
+    cp.conv_avg, ffm.convblk/conv1/conv2, conv_out/conv_out16/conv_out32.
+    """
+    out: Dict = {}
+
+    def conv(p, q, bias=False):
+        _set(out, q + ("weight",), _np(sd[f"{p}.weight"]))
+        if bias and f"{p}.bias" in sd:
+            _set(out, q + ("bias",), _np(sd[f"{p}.bias"]))
+
+    def cbr(p, q):  # ConvBNReLU
+        conv(f"{p}.conv", q + ("conv",))
+        _bn(sd, f"{p}.bn", out, q + ("bn",))
+
+    def arm(p, q):
+        cbr(f"{p}.conv", q + ("conv",))
+        conv(f"{p}.conv_atten", q + ("conv_atten",))
+        _bn(sd, f"{p}.bn_atten", out, q + ("bn_atten",))
+
+    def basic_block(p, q):
+        conv(f"{p}.conv1", q + ("conv1",))
+        _bn(sd, f"{p}.bn1", out, q + ("bn1",))
+        conv(f"{p}.conv2", q + ("conv2",))
+        _bn(sd, f"{p}.bn2", out, q + ("bn2",))
+        if f"{p}.downsample.0.weight" in sd:
+            conv(f"{p}.downsample.0", q + ("downsample_conv",))
+            _bn(sd, f"{p}.downsample.1", out, q + ("downsample_bn",))
+
+    r = ("cp", "resnet")
+    conv("cp.resnet.conv1", r + ("conv1",))
+    _bn(sd, "cp.resnet.bn1", out, r + ("bn1",))
+    for layer in ("layer1", "layer2", "layer3", "layer4"):
+        for b in (0, 1):
+            basic_block(f"cp.resnet.{layer}.{b}", r + (f"{layer}_{b}",))
+    arm("cp.arm16", ("cp", "arm16"))
+    arm("cp.arm32", ("cp", "arm32"))
+    cbr("cp.conv_head32", ("cp", "conv_head32"))
+    cbr("cp.conv_head16", ("cp", "conv_head16"))
+    cbr("cp.conv_avg", ("cp", "conv_avg"))
+    cbr("ffm.convblk", ("ffm", "convblk"))
+    conv("ffm.conv1", ("ffm", "conv1"))
+    conv("ffm.conv2", ("ffm", "conv2"))
+    for name in ("conv_out", "conv_out16", "conv_out32"):
+        cbr(f"{name}.conv", (name, "conv"))
+        conv(f"{name}.conv_out", (name, "conv_out"))
+    return split_batch_stats(out)
+
+
+def load_bisenet_checkpoint(path):
+    """79999_iter.pth -> variables dict for models.bisenet.BiSeNet."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = remove_module_prefix(sd)
+    params, stats = convert_bisenet(sd)
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_lpips_lin(sd, n_layers=5):
     """richzhang LPIPS lin state dict (keys like lin0.model.1.weight or
     0.1.weight depending on release) -> {'lin_i': [1,C,1,1]}."""
