@@ -381,6 +381,168 @@ def load_bisenet_checkpoint(path):
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# FaceVid2Vid
+# ---------------------------------------------------------------------------
+
+
+def fold_spectral_norm(sd, prefix):
+    """Fold eval-mode spectral norm: W = W_orig / (u^T W_mat v)."""
+    w = _np(sd[f"{prefix}.weight_orig"])
+    u = _np(sd[f"{prefix}.weight_u"])
+    v = _np(sd[f"{prefix}.weight_v"])
+    w_mat = w.reshape(w.shape[0], -1)
+    sigma = float(u @ (w_mat @ v))
+    return w / sigma
+
+
+def _fv_conv(sd, p, out, q, bias=True):
+    if f"{p}.weight_orig" in sd:
+        _set(out, q + ("weight",), fold_spectral_norm(sd, p))
+    else:
+        _set(out, q + ("weight",), _np(sd[f"{p}.weight"]))
+    if bias and f"{p}.bias" in sd:
+        _set(out, q + ("bias",), _np(sd[f"{p}.bias"]))
+
+
+def _fv_convnorm(sd, p, out, q):
+    """torch {p}.conv + {p}.norm -> q/conv, q/norm (Same/Up/Down blocks)."""
+    _fv_conv(sd, f"{p}.conv", out, q + ("conv",))
+    _bn(sd, f"{p}.norm", out, q + ("norm",))
+
+
+def _fv_resbottleneck(sd, p, out, q):
+    for i in (1, 2, 3):
+        _fv_conv(sd, f"{p}.conv{i}", out, q + (f"conv{i}",))
+        _bn(sd, f"{p}.norm{i}", out, q + (f"norm{i}",))
+    if f"{p}.skip.weight" in sd:
+        _fv_conv(sd, f"{p}.skip", out, q + ("skip",))
+        _bn(sd, f"{p}.norm4", out, q + ("norm4",))
+
+
+def _fv_resblock(sd, p, out, q):
+    _fv_conv(sd, f"{p}.conv1", out, q + ("conv1",))
+    _fv_conv(sd, f"{p}.conv2", out, q + ("conv2",))
+    _bn(sd, f"{p}.norm1", out, q + ("norm1",))
+    _bn(sd, f"{p}.norm2", out, q + ("norm2",))
+
+
+def _fv_spade(sd, p, out, q):
+    _fv_conv(sd, f"{p}.mlp_shared.0", out, q + ("mlp_shared_conv",))
+    _fv_conv(sd, f"{p}.mlp_gamma", out, q + ("mlp_gamma",))
+    _fv_conv(sd, f"{p}.mlp_beta", out, q + ("mlp_beta",))
+
+
+def _fv_spade_block(sd, p, out, q):
+    _fv_conv(sd, f"{p}.conv_0", out, q + ("conv_0",))
+    _fv_conv(sd, f"{p}.conv_1", out, q + ("conv_1",))
+    _fv_spade(sd, f"{p}.norm_0", out, q + ("norm_0",))
+    _fv_spade(sd, f"{p}.norm_1", out, q + ("norm_1",))
+    if f"{p}.conv_s.weight_orig" in sd or f"{p}.conv_s.weight" in sd:
+        _fv_conv(sd, f"{p}.conv_s", out, q + ("conv_s",), bias=False)
+        _fv_spade(sd, f"{p}.norm_s", out, q + ("norm_s",))
+
+
+def convert_kp_detector(sd):
+    out: Dict = {}
+    i = 0
+    while f"predictor.down_blocks.down{i}.conv.weight" in sd:
+        _fv_convnorm(sd, f"predictor.down_blocks.down{i}", out,
+                     ("predictor", f"down_{i}"))
+        i += 1
+    _fv_conv(sd, "predictor.conv", out, ("predictor", "conv"))
+    i = 0
+    while f"predictor.up_blocks.up{i}.conv.weight" in sd:
+        _fv_convnorm(sd, f"predictor.up_blocks.up{i}", out,
+                     ("predictor", f"up_{i}"))
+        i += 1
+    _fv_conv(sd, "kp", out, ("kp",))
+    return split_batch_stats(out)
+
+
+def convert_he_estimator(sd):
+    out: Dict = {}
+    for i in (1, 2, 3, 4, 5):
+        _fv_conv(sd, f"conv{i}", out, (f"conv{i}",))
+        _bn(sd, f"norm{i}", out, (f"norm{i}",))
+    for name, n in (("block1", 3), ("block3", 3), ("block5", 5), ("block7", 2)):
+        tag = name[-1]
+        for i in range(n):
+            _fv_resbottleneck(sd, f"{name}.b{tag}_{i}", out, (f"{name}_{i}",))
+    _fv_resbottleneck(sd, "block2", out, ("block2",))
+    _fv_resbottleneck(sd, "block4", out, ("block4",))
+    _fv_resbottleneck(sd, "block6", out, ("block6",))
+    for fc in ("fc_roll", "fc_pitch", "fc_yaw", "fc_t", "fc_exp"):
+        _set(out, (f"{fc}_weight",), _np(sd[f"{fc}.weight"]))
+        _set(out, (f"{fc}_bias",), _np(sd[f"{fc}.bias"]))
+    return split_batch_stats(out)
+
+
+def convert_fv_generator(sd):
+    out: Dict = {}
+    # dense motion
+    dm = "dense_motion_network"
+    i = 0
+    while f"{dm}.hourglass.encoder.down_blocks.{i}.conv.weight" in sd:
+        _fv_convnorm(sd, f"{dm}.hourglass.encoder.down_blocks.{i}", out,
+                     ("dense_motion_network", "hourglass", f"encoder_down_{i}"))
+        i += 1
+    i = 0
+    while f"{dm}.hourglass.decoder.up_blocks.{i}.conv.weight" in sd:
+        _fv_convnorm(sd, f"{dm}.hourglass.decoder.up_blocks.{i}", out,
+                     ("dense_motion_network", "hourglass", f"decoder_up_{i}"))
+        i += 1
+    _fv_conv(sd, f"{dm}.hourglass.decoder.conv", out,
+             ("dense_motion_network", "hourglass", "decoder_conv"))
+    _bn(sd, f"{dm}.hourglass.decoder.norm", out,
+        ("dense_motion_network", "hourglass", "decoder_norm"))
+    _fv_conv(sd, f"{dm}.mask", out, ("dense_motion_network", "mask"))
+    _fv_conv(sd, f"{dm}.compress", out, ("dense_motion_network", "compress"))
+    _bn(sd, f"{dm}.norm", out, ("dense_motion_network", "norm"))
+    if f"{dm}.occlusion.weight" in sd:
+        _fv_conv(sd, f"{dm}.occlusion", out, ("dense_motion_network", "occlusion"))
+    # encoder path
+    _fv_convnorm(sd, "first", out, ("first",))
+    i = 0
+    while f"down_blocks.{i}.conv.weight" in sd:
+        _fv_convnorm(sd, f"down_blocks.{i}", out, (f"down_blocks_{i}",))
+        i += 1
+    _fv_conv(sd, "second", out, ("second",))
+    i = 0
+    while f"resblocks_3d.3dr{i}.conv1.weight" in sd:
+        _fv_resblock(sd, f"resblocks_3d.3dr{i}", out, (f"resblocks_3d_{i}",))
+        i += 1
+    _fv_convnorm(sd, "third", out, ("third",))
+    _fv_conv(sd, "fourth", out, ("fourth",))
+    # SPADE decoder
+    _fv_conv(sd, "decoder.fc", out, ("decoder", "fc"))
+    for i in range(6):
+        _fv_spade_block(sd, f"decoder.G_middle_{i}", out, ("decoder", f"G_middle_{i}"))
+    _fv_spade_block(sd, "decoder.up_0", out, ("decoder", "up_0"))
+    _fv_spade_block(sd, "decoder.up_1", out, ("decoder", "up_1"))
+    _fv_conv(sd, "decoder.conv_img", out, ("decoder", "conv_img"))
+    return split_batch_stats(out)
+
+
+def load_facevid2vid_checkpoint(path):
+    """00000189-checkpoint.pth.tar -> variables for FaceVid2Vid.
+
+    ref: src/pretrained/face_vid2vid/driven_demo.py:46-53
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for key, conv in (
+        ("kp_detector", convert_kp_detector),
+        ("he_estimator", convert_he_estimator),
+        ("generator", convert_fv_generator),
+    ):
+        params, stats = conv(remove_module_prefix(ckpt[key]))
+        out[key] = {"params": params, "batch_stats": stats}
+    return out
+
+
 def convert_lpips_lin(sd, n_layers=5):
     """richzhang LPIPS lin state dict (keys like lin0.model.1.weight or
     0.1.weight depending on release) -> {'lin_i': [1,C,1,1]}."""
