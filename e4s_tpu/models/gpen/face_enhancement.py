@@ -1,0 +1,228 @@
+"""GPEN blind face restoration pipeline.
+
+Parity target: src/pretrained/gpen/face_enhancement.py (FaceEnhancement) and
+the wrappers face_model/face_gan.py, sr_model/real_esrnet.py,
+face_parse/face_parsing.py. Sub-networks run jitted on device; the detect /
+warp / composite glue stays host-side (cv2), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e4s_tpu.models.gpen.align_faces import (
+    get_reference_facial_points,
+    warp_and_crop_face,
+)
+from e4s_tpu.models.gpen.gpen_model import GPENFullGenerator
+from e4s_tpu.models.gpen.parsenet import MASK_COLORMAP, ParseNet, parse_mask
+from e4s_tpu.models.gpen.retinaface import RetinaFaceDetector
+from e4s_tpu.models.gpen.rrdbnet import RRDBNet
+
+
+class FaceGAN:
+    """ref: face_model/face_gan.py"""
+
+    def __init__(self, in_size=512, variables=None, channel_multiplier=2,
+                 narrow=1, seed=0):
+        self.in_size = in_size
+        self.model = GPENFullGenerator(
+            size=in_size, channel_multiplier=channel_multiplier, narrow=narrow
+        )
+        if variables is None:
+            x0 = jnp.zeros((1, 3, in_size, in_size), jnp.float32)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x0)
+        self.variables = variables
+        self._jit = jax.jit(lambda v, x: self.model.apply(v, x)[0])
+
+    def process(self, img_bgr: np.ndarray) -> np.ndarray:
+        """[H,W,3] BGR uint8 -> restored BGR uint8 at in_size^2."""
+        import cv2
+
+        img = cv2.resize(img_bgr, (self.in_size, self.in_size))
+        t = img.astype(np.float32) / 255.0
+        t = (t - 0.5) / 0.5
+        t = np.transpose(t[:, :, ::-1], (2, 0, 1))[None]  # BGR->RGB, NCHW
+        out = np.asarray(self._jit(self.variables, jnp.asarray(t)))[0]
+        out = np.clip(out * 0.5 + 0.5, 0, 1)
+        out = np.transpose(out, (1, 2, 0))[:, :, ::-1] * 255.0  # RGB->BGR
+        return out.astype(np.uint8)
+
+
+class RealESRNet:
+    """ref: sr_model/real_esrnet.py (x4, num_feat=32)."""
+
+    def __init__(self, scale=4, variables=None, seed=0):
+        self.scale = scale
+        self.model = RRDBNet(scale=scale)
+        if variables is None:
+            x0 = jnp.zeros((1, 3, 64, 64), jnp.float32)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x0)
+        self.variables = variables
+        self._jit = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def process(self, img_bgr: np.ndarray) -> Optional[np.ndarray]:
+        img = img_bgr.astype(np.float32) / 255.0
+        t = np.transpose(img[:, :, ::-1], (2, 0, 1))[None]
+        out = np.asarray(self._jit(self.variables, jnp.asarray(t)))[0]
+        out = np.clip(out, 0, 1)
+        out = np.transpose(out[::-1], (1, 2, 0))
+        return (out * 255.0).round().astype(np.uint8)
+
+
+class FaceParse:
+    """ref: face_parse/face_parsing.py"""
+
+    def __init__(self, variables=None, seed=0):
+        self.size = 512
+        self.model = ParseNet(512, 512, 32, 64, 19, min_ch=32, max_ch=256)
+        if variables is None:
+            x0 = jnp.zeros((1, 3, 512, 512), jnp.float32)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x0)
+        self.variables = variables
+        self._jit = jax.jit(lambda v, x: self.model.apply(v, x)[0])
+
+    def process(self, img_bgr: np.ndarray) -> np.ndarray:
+        import cv2
+
+        im = cv2.resize(img_bgr, (self.size, self.size))
+        t = im[:, :, ::-1].astype(np.float32) / 255.0 * 2 - 1
+        t = np.transpose(t, (2, 0, 1))[None]
+        logits = self._jit(self.variables, jnp.asarray(t))
+        return np.asarray(parse_mask(logits)).astype(np.uint8)
+
+
+class FaceEnhancement:
+    """ref: face_enhancement.py:16-112"""
+
+    def __init__(self, in_size=512, out_size=None, use_sr=True, sr_scale=4,
+                 channel_multiplier=2, narrow=1, variables=None):
+        import cv2
+
+        variables = variables or {}
+        self.facedetector = RetinaFaceDetector(variables.get("retinaface"))
+        self.facegan = FaceGAN(
+            in_size, variables.get("facegan"), channel_multiplier, narrow
+        )
+        self.srmodel = RealESRNet(sr_scale, variables.get("srmodel"))
+        self.faceparser = FaceParse(variables.get("parsenet"))
+        self.use_sr = use_sr
+        self.in_size = in_size
+        self.out_size = in_size if out_size is None else out_size
+        self.threshold = 0.9
+
+        self.mask = np.zeros((512, 512), np.float32)
+        cv2.rectangle(self.mask, (26, 26), (486, 486), (1, 1, 1), -1, cv2.LINE_AA)
+        self.mask = cv2.GaussianBlur(self.mask, (101, 101), 11)
+        self.mask = cv2.GaussianBlur(self.mask, (101, 101), 11)
+        self.kernel = np.array(
+            [[0.0625, 0.125, 0.0625], [0.125, 0.25, 0.125], [0.0625, 0.125, 0.0625]],
+            dtype="float32",
+        )
+        self.reference_5pts = get_reference_facial_points(
+            (self.in_size, self.in_size), 0.25, (0, 0), True
+        )
+
+    def mask_postprocess(self, mask, thres=20):
+        import cv2
+
+        mask[:thres, :] = 0
+        mask[-thres:, :] = 0
+        mask[:, :thres] = 0
+        mask[:, -thres:] = 0
+        mask = cv2.GaussianBlur(mask, (101, 101), 11)
+        mask = cv2.GaussianBlur(mask, (101, 101), 11)
+        return mask.astype(np.float32)
+
+    def process(self, img, aligned=False):
+        import cv2
+
+        orig_faces, enhanced_faces = [], []
+        if aligned:
+            ef = self.facegan.process(img)
+            orig_faces.append(img)
+            enhanced_faces.append(ef)
+            if self.use_sr:
+                ef = self.srmodel.process(ef)
+            return ef, orig_faces, enhanced_faces
+
+        img_sr = None
+        if self.use_sr:
+            img_sr = self.srmodel.process(img)
+            if img_sr is not None:
+                img = cv2.resize(img, img_sr.shape[:2][::-1])
+
+        facebs, landms = self.facedetector.detect(img)
+        height, width = img.shape[:2]
+        full_mask = np.zeros((height, width), dtype=np.float32)
+        full_img = np.zeros(img.shape, dtype=np.uint8)
+
+        for faceb, facial5points in zip(facebs, landms):
+            if faceb[4] < self.threshold:
+                continue
+            fh, fw = (faceb[3] - faceb[1]), (faceb[2] - faceb[0])
+            facial5points = np.reshape(facial5points, (2, 5))
+            of, tfm_inv = warp_and_crop_face(
+                img, facial5points, reference_pts=self.reference_5pts,
+                crop_size=(self.in_size, self.in_size),
+            )
+            ef = self.facegan.process(of)
+            orig_faces.append(of)
+            enhanced_faces.append(ef)
+            tmp_mask = self.mask_postprocess(self.faceparser.process(ef)[0] / 255.0)
+            tmp_mask = cv2.resize(tmp_mask, (self.in_size, self.in_size))
+            tmp_mask = cv2.warpAffine(tmp_mask, tfm_inv, (width, height), flags=3)
+            if min(fh, fw) < 100:
+                ef = cv2.filter2D(ef, -1, self.kernel)
+            if self.in_size != self.out_size:
+                ef = cv2.resize(ef, (self.in_size, self.in_size))
+            tmp_img = cv2.warpAffine(ef, tfm_inv, (width, height), flags=3)
+            mask = tmp_mask - full_mask
+            full_mask[np.where(mask > 0)] = tmp_mask[np.where(mask > 0)]
+            full_img[np.where(mask > 0)] = tmp_img[np.where(mask > 0)]
+
+        full_mask = full_mask[:, :, np.newaxis]
+        base = img_sr if (self.use_sr and img_sr is not None) else img
+        out = np.clip(
+            base * (1 - full_mask) + full_img * full_mask, 0, 255
+        ).astype(np.uint8)
+        return out, orig_faces, enhanced_faces
+
+
+def gpen_demo(img_bgr, model: FaceEnhancement, aligned=False):
+    """ref: gpen_demo.py:35-49"""
+    out, _, _ = model.process(img_bgr, aligned=aligned)
+    return out
+
+
+def build_restorer(model_params: dict, variables=None):
+    """Returns a callable D01 [1,3,H,W] RGB [0,1] -> restored, same layout.
+
+    ref: scripts/face_swap.py:207-209 (GPEN takes/returns BGR uint8; the
+    wrapper converts).
+    """
+    enhancer = FaceEnhancement(
+        in_size=model_params.get("in_size", 512),
+        use_sr=model_params.get("use_sr", True),
+        sr_scale=model_params.get("sr_scale", 4),
+        channel_multiplier=model_params.get("channel_multiplier", 2),
+        narrow=model_params.get("narrow", 1),
+        variables=variables,
+    )
+
+    def restore(D01: np.ndarray) -> np.ndarray:
+        img = np.transpose(D01[0], (1, 2, 0))  # RGB HWC [0,1]
+        bgr = (np.clip(img[:, :, ::-1], 0, 1) * 255).astype(np.uint8)
+        out_bgr = gpen_demo(bgr, enhancer, aligned=False)
+        import cv2
+
+        out_bgr = cv2.resize(out_bgr, (D01.shape[-1], D01.shape[-2]))
+        rgb = out_bgr[:, :, ::-1].astype(np.float32) / 255.0
+        return np.transpose(rgb, (2, 0, 1))[None]
+
+    return restore

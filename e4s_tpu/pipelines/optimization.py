@@ -87,7 +87,7 @@ class Optimizer:
         if opts.lpips_lambda > 0:
             lp = 0.0
             for i in range(3):
-                s = opts.out_size // (2**i)
+                s = max(opts.out_size // (2**i), 32)
                 lp = lp + self.lpips.apply(
                     self.loss_vars["lpips"],
                     adaptive_avg_pool2d(recon, (s, s)),

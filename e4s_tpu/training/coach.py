@@ -229,7 +229,9 @@ class Coach:
         if opts.lpips_lambda > 0:
             llp = 0.0
             for i in range(3):
-                s = opts.out_size // (2**i)
+                # min 32: AlexNet's receptive schedule degenerates below
+                # (only relevant for small test configs; 1024 path unchanged)
+                s = max(opts.out_size // (2**i), 32)
                 llp = llp + self.lpips.apply(
                     self.loss_vars["lpips"],
                     adaptive_avg_pool2d(recon, (s, s)),

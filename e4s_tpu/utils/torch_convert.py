@@ -15,6 +15,7 @@ never on the compute path).
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict
 
@@ -540,6 +541,191 @@ def load_facevid2vid_checkpoint(path):
     ):
         params, stats = conv(remove_module_prefix(ckpt[key]))
         out[key] = {"params": params, "batch_stats": stats}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GPEN stack
+# ---------------------------------------------------------------------------
+
+
+def convert_gpen_full_generator(sd):
+    """GPEN-BFR-512.pth (FullGenerator) -> params tree.
+
+    torch names: ecd{i}.0.{0,1}, final_linear.0, generator.style.{i},
+    generator.input.input, generator.conv1.{conv,noise,activate},
+    generator.convs.{j}, generator.to_rgbs.{j}.
+    """
+    out: Dict = {}
+    i = 0
+    while f"ecd{i}.0.0.weight" in sd:
+        _set(out, (f"ecd{i}", "conv", "weight"), _np(sd[f"ecd{i}.0.0.weight"]))
+        if f"ecd{i}.0.0.bias" in sd:
+            _set(out, (f"ecd{i}", "conv", "bias"), _np(sd[f"ecd{i}.0.0.bias"]))
+        if f"ecd{i}.0.1.bias" in sd:
+            _set(out, (f"ecd{i}", "activate", "bias"), _np(sd[f"ecd{i}.0.1.bias"]))
+        i += 1
+    # downsampling ecds have Blur at index 0: conv at .0.1, act at .0.2
+    i = 1
+    while f"ecd{i}.0.1.weight" in sd:
+        _set(out, (f"ecd{i}", "conv", "weight"), _np(sd[f"ecd{i}.0.1.weight"]))
+        if f"ecd{i}.0.2.bias" in sd:
+            _set(out, (f"ecd{i}", "activate", "bias"), _np(sd[f"ecd{i}.0.2.bias"]))
+        i += 1
+    _set(out, ("final_linear", "weight"), _np(sd["final_linear.0.weight"]))
+    _set(out, ("final_linear", "bias"), _np(sd["final_linear.0.bias"]))
+
+    g: Dict = {}
+    for i in range(1, 9):
+        _set(g, (f"style_{i}", "weight"), _np(sd[f"generator.style.{i}.weight"]))
+        _set(g, (f"style_{i}", "bias"), _np(sd[f"generator.style.{i}.bias"]))
+    _set(g, ("input",), _np(sd["generator.input.input"]))
+
+    def styled(p, q):
+        _set(g, q + ("conv", "weight"), _np(sd[f"{p}.conv.weight"]).squeeze(0))
+        _set(g, q + ("conv", "modulation", "weight"), _np(sd[f"{p}.conv.modulation.weight"]))
+        _set(g, q + ("conv", "modulation", "bias"), _np(sd[f"{p}.conv.modulation.bias"]))
+        _set(g, q + ("noise_weight",), _np(sd[f"{p}.noise.weight"]))
+        _set(g, q + ("activate", "bias"), _np(sd[f"{p}.activate.bias"]))
+
+    def torgb(p, q):
+        _set(g, q + ("conv", "weight"), _np(sd[f"{p}.conv.weight"]).squeeze(0))
+        _set(g, q + ("conv", "modulation", "weight"), _np(sd[f"{p}.conv.modulation.weight"]))
+        _set(g, q + ("conv", "modulation", "bias"), _np(sd[f"{p}.conv.modulation.bias"]))
+        _set(g, q + ("bias",), _np(sd[f"{p}.bias"]))
+
+    styled("generator.conv1", ("conv1",))
+    torgb("generator.to_rgb1", ("to_rgb1",))
+    j = 0
+    while f"generator.convs.{j}.conv.weight" in sd:
+        styled(f"generator.convs.{j}", (f"convs_{j}",))
+        j += 1
+    j = 0
+    while f"generator.to_rgbs.{j}.conv.weight" in sd:
+        torgb(f"generator.to_rgbs.{j}", (f"to_rgbs_{j}",))
+        j += 1
+    out["generator"] = g
+    return out
+
+
+def convert_rrdbnet(sd):
+    out: Dict = {}
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
+        _set(out, (name, "weight"), _np(sd[f"{name}.weight"]))
+        _set(out, (name, "bias"), _np(sd[f"{name}.bias"]))
+    i = 0
+    while f"body.{i}.rdb1.conv1.weight" in sd:
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            for c in range(1, 6):
+                _set(out, (f"body_{i}", rdb, f"conv{c}", "weight"),
+                     _np(sd[f"body.{i}.{rdb}.conv{c}.weight"]))
+                _set(out, (f"body_{i}", rdb, f"conv{c}", "bias"),
+                     _np(sd[f"body.{i}.{rdb}.conv{c}.bias"]))
+        i += 1
+    return out
+
+
+def convert_parsenet(sd):
+    """ParseNet-latest.pth -> (params, batch_stats)."""
+    out: Dict = {}
+
+    def pn_conv(p, q):
+        _set(out, q + ("conv2d", "weight"), _np(sd[f"{p}.conv2d.weight"]))
+        if f"{p}.conv2d.bias" in sd:
+            _set(out, q + ("conv2d", "bias"), _np(sd[f"{p}.conv2d.bias"]))
+        if f"{p}.norm.norm.weight" in sd:
+            _bn(sd, f"{p}.norm.norm", out, q + ("norm",))
+
+    def pn_res(p, q):
+        if f"{p}.shortcut_func.conv2d.weight" in sd:
+            pn_conv(f"{p}.shortcut_func", q + ("shortcut",))
+        pn_conv(f"{p}.conv1", q + ("conv1",))
+        pn_conv(f"{p}.conv2", q + ("conv2",))
+
+    pn_conv("encoder.0", ("encoder_0",))
+    i = 1
+    while f"encoder.{i}.conv1.conv2d.weight" in sd:
+        pn_res(f"encoder.{i}", (f"encoder_{i}",))
+        i += 1
+    i = 0
+    while f"body.{i}.conv1.conv2d.weight" in sd:
+        pn_res(f"body.{i}", (f"body_{i}",))
+        i += 1
+    i = 0
+    while f"decoder.{i}.conv1.conv2d.weight" in sd:
+        pn_res(f"decoder.{i}", (f"decoder_{i}",))
+        i += 1
+    pn_conv("out_img_conv", ("out_img_conv",))
+    pn_conv("out_mask_conv", ("out_mask_conv",))
+    return split_batch_stats(out)
+
+
+def convert_retinaface(sd):
+    """RetinaFace-R50.pth -> (params, batch_stats)."""
+    out: Dict = {}
+
+    def conv(p, q, bias=True):
+        _set(out, q + ("weight",), _np(sd[f"{p}.weight"]))
+        if bias and f"{p}.bias" in sd:
+            _set(out, q + ("bias",), _np(sd[f"{p}.bias"]))
+
+    def bottleneck(p, q):
+        for c in (1, 2, 3):
+            conv(f"{p}.conv{c}", q + (f"conv{c}",))
+            _bn(sd, f"{p}.bn{c}", out, q + (f"bn{c}",))
+        if f"{p}.downsample.0.weight" in sd:
+            conv(f"{p}.downsample.0", q + ("downsample_conv",))
+            _bn(sd, f"{p}.downsample.1", out, q + ("downsample_bn",))
+
+    conv("body.conv1", ("body", "conv1"))
+    _bn(sd, "body.bn1", out, ("body", "bn1"))
+    for li, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for b in range(blocks):
+            bottleneck(f"body.layer{li}.{b}", ("body", f"layer{li}_{b}"))
+
+    def convbn(p, q):
+        conv(f"{p}.0", q + ("conv",))
+        _bn(sd, f"{p}.1", out, q + ("bn",))
+
+    for name in ("output1", "output2", "output3", "merge1", "merge2"):
+        convbn(f"fpn.{name}", ("fpn", name))
+    for s in ("ssh1", "ssh2", "ssh3"):
+        for blk in ("conv3X3", "conv5X5_1", "conv5X5_2", "conv7X7_2", "conv7x7_3"):
+            convbn(f"{s}.{blk}", (s, blk))
+    for i in range(3):
+        conv(f"ClassHead.{i}.conv1x1", (f"ClassHead_{i}",))
+        conv(f"BboxHead.{i}.conv1x1", (f"BboxHead_{i}",))
+        conv(f"LandmarkHead.{i}.conv1x1", (f"LandmarkHead_{i}",))
+    return split_batch_stats(out)
+
+
+def load_gpen_checkpoints(base_dir):
+    """Load the 4 GPEN checkpoints (ref: INSTALLATION.md table) into the
+    variables dict accepted by FaceEnhancement."""
+    import torch
+
+    w = lambda name: os.path.join(base_dir, "weights", name)
+    out = {}
+    paths = {
+        "facegan": (w("GPEN-BFR-512.pth"), convert_gpen_full_generator, False),
+        "srmodel": (w("realesrnet_x4.pth"), convert_rrdbnet, "params_ema"),
+        "parsenet": (w("ParseNet-latest.pth"), convert_parsenet, False),
+        "retinaface": (w("RetinaFace-R50.pth"), convert_retinaface, False),
+    }
+    for key, (path, conv, subkey) in paths.items():
+        if not os.path.exists(path):
+            continue
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if subkey and subkey in sd:
+            sd = sd[subkey]
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = remove_module_prefix(sd)
+        res = conv(sd)
+        if isinstance(res, tuple):
+            out[key] = {"params": res[0], "batch_stats": res[1]}
+        else:
+            out[key] = {"params": res}
     return out
 
 
