@@ -130,6 +130,10 @@ def _cpu_baseline():
 def main():
     import jax
 
+    from e4s_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     core, args = _build()
     med, times = _time_core(core, args, ITERS)
     swaps_per_sec = BATCH / med

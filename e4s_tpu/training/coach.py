@@ -119,6 +119,7 @@ class Coach:
             n_styles=opts.n_styles,
             start_from_latent_avg=opts.start_from_latent_avg,
             learn_in_w=opts.learn_in_w,
+            fast_masked=getattr(opts, "fast_masked", True),
         )
         self.D = Discriminator(size=opts.out_size) if opts.train_D else None
 

@@ -20,3 +20,7 @@ import jax  # noqa: E402
 # start; jax.config wins over it.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+from e4s_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
