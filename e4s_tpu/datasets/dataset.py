@@ -93,8 +93,16 @@ def celebahq_mask_to_faceparser_mask(mask: np.ndarray) -> np.ndarray:
 
 
 def to_tensor(img) -> np.ndarray:
-    """PIL/uint8 HWC -> float32 CHW in [0,1] (torchvision ToTensor parity)."""
+    """PIL/uint8 HWC -> float32 CHW in [0,1] (torchvision ToTensor parity).
+
+    Routes through the native C++ kernel (native/preprocess.cpp) when built.
+    """
     arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+        from e4s_tpu.datasets import native
+
+        if native.available():
+            return native.to_tensor_normalize(arr, normalize=False)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     arr = arr.astype(np.float32) / 255.0
@@ -154,15 +162,25 @@ class CelebAHQDataset:
 
         img = Image.open(self.imgs[idx]).convert("RGB")
         label = Image.open(self.labels[idx]).convert("L")
-        img = to_tensor(img)
-        if self.normalize:
-            img = normalize_img(img)
+        img = _load_pair_fast(img, self.normalize)
         label_np = self.label_converter(np.asarray(label))
         label_t = label_np[None].astype(np.int32)  # [1,H,W]
         if self.flip_p > 0 and random.random() < self.flip_p:
             img = img[:, :, ::-1].copy()
             label_t = label_t[:, :, ::-1].copy()
         return img, label_t, -1
+
+
+def _load_pair_fast(img, normalize: bool) -> np.ndarray:
+    """Fused uint8 HWC -> normalized float32 CHW via the native kernel."""
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+        from e4s_tpu.datasets import native
+
+        if native.available():
+            return native.to_tensor_normalize(arr, normalize=normalize)
+    out = to_tensor(arr)
+    return normalize_img(out) if normalize else out
 
 
 class FFHQDataset:
@@ -194,9 +212,7 @@ class FFHQDataset:
 
         img = Image.open(self.imgs[idx]).convert("RGB")
         label = Image.open(self.labels[idx]).convert("L")
-        img = to_tensor(img)
-        if self.normalize:
-            img = normalize_img(img)
+        img = _load_pair_fast(img, self.normalize)
         label_np = self.label_converter(np.asarray(label))
         label_t = label_np[None].astype(np.int32)
         if self.flip_p > 0 and random.random() < self.flip_p:

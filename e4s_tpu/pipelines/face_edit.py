@@ -48,7 +48,7 @@ def sample_fixed_noise(out_size: int, seed: int = 0):
 class Editor:
     """ref: scripts/face_edit.py:19-101"""
 
-    def __init__(self, opts):
+    def __init__(self, opts, parser=None):
         self.opts = opts
         for region in opts.regions:
             assert region in COMP2INDEX, (
@@ -56,7 +56,7 @@ class Editor:
                 + ",".join(COMP2INDEX)
             )
         self.net, self.variables, self.latent_avg = load_net3(opts)
-        self.parser = load_face_parser(
+        self.parser = parser if parser is not None else load_face_parser(
             opts, getattr(opts, "faceParsing_ckpt", None)
         )
         self.noise = sample_fixed_noise(opts.out_size)
@@ -83,7 +83,8 @@ class Editor:
     def _prep(self, path):
         from PIL import Image
 
-        img = Image.open(path).convert("RGB").resize((1024, 1024))
+        S = self.opts.out_size
+        img = Image.open(path).convert("RGB").resize((S, S))
         arr01 = np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))[None]
         label = self.parse(arr01)
         onehot = label_map_to_onehot(

@@ -40,10 +40,10 @@ from e4s_tpu.utils.swap_mask import swap_head_mask
 class FaceSwapper:
     """Holds the loaded models + jitted cores; call ``swap`` per pair."""
 
-    def __init__(self, opts, reenactor=None, restorer=None):
+    def __init__(self, opts, reenactor=None, restorer=None, parser=None):
         self.opts = opts
         self.net, self.variables, self.latent_avg = load_net3(opts)
-        self.parser = load_face_parser(
+        self.parser = parser if parser is not None else load_face_parser(
             opts, getattr(opts, "faceParsing_ckpt", None)
         )
         self.reenactor = reenactor  # FaceVid2Vid driver: (S01, T01) -> D01
@@ -56,7 +56,8 @@ class FaceSwapper:
     def _load_1024(self, path):
         from PIL import Image
 
-        img = Image.open(path).convert("RGB").resize((1024, 1024))
+        S = self.opts.out_size
+        img = Image.open(path).convert("RGB").resize((S, S))
         return np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))[None]
 
     def _parse12(self, arr01):
@@ -161,8 +162,9 @@ class FaceSwapper:
             content_mask, border_mask, _ = create_masks(
                 fg, outer_dilation=outer_dilation, operation="expansion"
             )
-            content_mask = bilinear_resize(content_mask, (1024, 1024))
-            border_mask = bilinear_resize(border_mask, (1024, 1024))
+            S = opts.out_size
+            content_mask = bilinear_resize(content_mask, (S, S))
+            border_mask = bilinear_resize(border_mask, (S, S))
             swapped01 = (swapped_face + 1) / 2 * 255.0
             target255 = jnp.asarray(T01) * 255.0
             pasted = swapped01 * content_mask + target255 * (1 - content_mask)

@@ -1,0 +1,112 @@
+"""End-to-end pipeline smoke tests at small resolution (random weights).
+
+A fake parser supplies deterministic 12-class masks so the (slow) BiSeNet
+forward stays out of these tests — its own parity is covered separately.
+"""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+class FakeParser:
+    """Mimics FaceParser.__call__: [B,3,S,S] [0,1] -> [B,512,512] 19-cls."""
+
+    def __call__(self, img01):
+        B, _, H, W = img01.shape
+        S = 512
+        yy, xx = np.mgrid[0:S, 0:S]
+        rad = np.hypot(yy - S / 2, xx - S / 2)
+        lab = np.zeros((S, S), np.int32)
+        lab[rad < S * 0.4] = 1   # skin (face-parsing taxonomy)
+        lab[rad < S * 0.1] = 10  # nose
+        lab[(yy < S * 0.3) & (rad < S * 0.45)] = 17  # hair
+        return jnp.asarray(np.broadcast_to(lab, (B, S, S)))
+
+
+def small_swap_opts(tmp_path):
+    return types.SimpleNamespace(
+        num_seg_cls=12, out_size=64, remaining_layer_idx=7, n_styles=10,
+        start_from_latent_avg=True, learn_in_w=False, train_G=True,
+        checkpoint_path=None, faceParser_name="default", lap_bld=False,
+        output_dir=str(tmp_path), verbose=True,
+    )
+
+
+def _write_test_images(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for name in ("source", "target"):
+        arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"{name}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_face_swap_pipeline_smoke(tmp_path):
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    src, tgt = _write_test_images(tmp_path)
+    opts = small_swap_opts(tmp_path)
+    swapper = FaceSwapper(opts, parser=FakeParser())
+    result = swapper.swap(src, tgt, save_dir=str(tmp_path / "out"), verbose=True)
+    assert result.size == (64, 64)
+    assert os.path.exists(tmp_path / "out" / "swap_source_to_target.png")
+    assert os.path.exists(tmp_path / "out" / "swappedMask.png")
+
+
+def test_face_swap_lap_bld(tmp_path):
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    src, tgt = _write_test_images(tmp_path)
+    opts = small_swap_opts(tmp_path)
+    opts.lap_bld = True
+    swapper = FaceSwapper(opts, parser=FakeParser())
+    result = swapper.swap(src, tgt, save_dir=str(tmp_path / "out"))
+    # lap blending path goes through the 1024^2 pyramid (reference parity)
+    assert result.size[0] in (64, 1024)
+
+
+def test_face_edit_pipeline_smoke(tmp_path):
+    from e4s_tpu.pipelines.face_edit import Editor
+
+    src, ref = _write_test_images(tmp_path)
+    opts = types.SimpleNamespace(
+        num_seg_cls=12, out_size=64, remaining_layer_idx=7, n_styles=10,
+        start_from_latent_avg=True, learn_in_w=False, train_G=False,
+        checkpoint_path=None, regions=["hair", "eyes"], alpha=0.7,
+        source=src, reference=ref, output_dir=str(tmp_path),
+    )
+    editor = Editor(opts, parser=FakeParser())
+    out = editor.interpolation()
+    assert out.size == (64, 64)
+
+
+def test_optimization_pipeline_smoke(tmp_path):
+    from e4s_tpu.datasets.dataset import SyntheticFaceDataset
+    from e4s_tpu.pipelines.optimization import Optimizer
+
+    opts = types.SimpleNamespace(
+        num_seg_cls=12, out_size=64, remaining_layer_idx=7, n_styles=10,
+        start_from_latent_avg=True, learn_in_w=False, train_G=False,
+        checkpoint_path=None, output_dir=str(tmp_path), opt_name="adam",
+        lr=1e-2, W_steps=3, save_interval=2, save_intermediate=False,
+        verbose=False, id_lambda=0.1, id_loss_multiscale=True,
+        l2_lambda=1.0, lpips_lambda=0.8, face_parsing_lambda=0.1,
+        ds_frac=1.0,
+    )
+    ds = SyntheticFaceDataset(size=64, num_seg_cls=12, length=4)
+    optimizer = Optimizer(opts, dataset=ds)
+    sv, recon, losses = optimizer.invertion(1, save=True)
+    assert sv.shape == (1, 12, 1280)
+    assert recon.shape == (1, 3, 64, 64)
+    assert losses.shape == (3,)
+    assert np.all(np.isfinite(losses))
+    assert os.path.exists(tmp_path / "sample_1" / "sample_1_0003.png")
