@@ -22,6 +22,7 @@ import numpy as np
 OUT_SIZE = int(os.environ.get("BENCH_OUT_SIZE", "1024"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+BF16 = os.environ.get("BENCH_BF16", "0") == "1"
 CPU_BASELINE_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json"
 )
@@ -66,6 +67,17 @@ def _build(backend_devices=None):
         )
     )(jax.random.PRNGKey(0))
 
+    if BF16:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            t,
+        )
+        variables = cast(variables)
+        driven, target = cast((driven, target))
+        d_oh, t_oh, s_oh = cast((d_oh, t_oh, s_oh))
+        latent_avg = cast(latent_avg)
+
     core = jax.jit(make_swap_core(net))
     args = (variables, driven, target, d_oh, t_oh, s_oh, latent_avg)
     return core, args
@@ -83,19 +95,27 @@ def _sync(x):
 
 
 def _time_core(core, args, iters):
-    variables, driven, target, d_oh, t_oh, s_oh, latent_avg = args
+    """Returns (seconds/iter throughput, seconds p50 single-call latency).
+
+    Throughput: independent back-to-back dispatches with one final sync —
+    executions serialise on the single chip while dispatch overlaps, so
+    total/iters is the true device time per swap. Latency: per-call host
+    sync (includes the dispatch round trip).
+    """
     out = core(*args)
     _sync(out)  # compile + warmup
     t0 = time.perf_counter()
-    d = driven
     for _ in range(iters):
-        out = core(variables, d, target, d_oh, t_oh, s_oh, latent_avg)
-        d = driven + 0.0 * out  # data dependency serialises iterations
-    total = None
+        out = core(*args)
     _sync(out)
-    total = time.perf_counter() - t0
-    per_iter = total / iters
-    return per_iter, None
+    per_iter = (time.perf_counter() - t0) / iters
+
+    lat = []
+    for _ in range(min(iters, 5)):
+        t0 = time.perf_counter()
+        _sync(core(*args))
+        lat.append(time.perf_counter() - t0)
+    return per_iter, float(np.median(lat))
 
 
 def _cpu_baseline():
@@ -135,7 +155,7 @@ def main():
     enable_compile_cache()
 
     core, args = _build()
-    med, times = _time_core(core, args, ITERS)
+    med, p50_latency = _time_core(core, args, ITERS)
     swaps_per_sec = BATCH / med
 
     cpu_sps = None
@@ -152,10 +172,11 @@ def main():
         "value": round(swaps_per_sec, 4),
         "unit": "swaps/s",
         "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
-        "p50_latency_ms": round(med * 1000 / BATCH, 2),
+        "p50_latency_ms": round(p50_latency * 1000, 2),
         "batch": BATCH,
         "out_size": OUT_SIZE,
         "backend": jax.default_backend(),
+        "bf16": BF16,
         "cpu_baseline_swaps_per_sec": round(cpu_sps, 5) if cpu_sps else None,
     }
     print(json.dumps(result))
