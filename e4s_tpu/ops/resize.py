@@ -39,11 +39,18 @@ def nearest_resize(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbour resize matching ``F.interpolate(mode='nearest')``.
 
     x: [..., H, W] -> [..., size[0], size[1]].
+
+    For integer downscale ratios torch's floor rule reduces to a strided
+    slice (idx = i * (H/out)), which XLA lowers to a cheap strided read —
+    this is the hot path for the per-layer segmap resizes in the masked
+    generator.
     """
     H, W = x.shape[-2], x.shape[-1]
     out_h, out_w = size
     if (H, W) == (out_h, out_w):
         return x
+    if H % out_h == 0 and W % out_w == 0:
+        return x[..., :: H // out_h, :: W // out_w]
     iy = jnp.asarray(_nearest_indices(H, out_h))
     ix = jnp.asarray(_nearest_indices(W, out_w))
     return x[..., iy, :][..., ix]
