@@ -198,12 +198,28 @@ class Coach:
         self._compiled_g = jax.jit(self._g_step, donate_argnums=(0,))
         self._compiled_d = jax.jit(self._d_step, donate_argnums=(0,))
         self._compiled_r1 = jax.jit(self._d_r1_step, donate_argnums=(0,))
+        self._compiled_recon = jax.jit(
+            lambda state, img, onehot, rng: self._net_forward(
+                state.params, state.noises, img, onehot, state.latent_avg, rng
+            )[0]
+        )
 
         self.checkpoint_dir = os.path.join(opts.exp_dir, "checkpoints")
         self.log_path = os.path.join(opts.exp_dir, "logs", "metrics.jsonl")
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.dirname(self.log_path), exist_ok=True)
         self.best_val_loss = None
+        # TensorBoard writer (ref: coach.py:192-196 TensorBoardX); optional.
+        self.tb_writer = None
+        if not getattr(opts, "no_tensorboard", False):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(
+                    log_dir=os.path.join(opts.exp_dir, "logs")
+                )
+            except Exception:
+                self.tb_writer = None
 
     # ------------------------------------------------------------------
     # loss calc (ref: coach.py:403-453)
@@ -452,6 +468,18 @@ class Coach:
                     loss_dict.update(d_loss_dict)
                     self._log_metrics(loss_dict, prefix="train")
 
+                # image grids (ref: coach.py:360-363)
+                if opts.image_interval and (
+                    self.global_step % opts.image_interval == 0
+                    or (self.global_step < 1000 and self.global_step % 25 == 0)
+                ):
+                    try:
+                        rng, k_img = jax.random.split(rng)
+                        recon = self._compiled_recon(self.state, img, onehot, k_img)
+                        self.log_images("images/train/faces", onehot, img, recon)
+                    except Exception as e:
+                        print(f"[coach] image logging failed: {e}")
+
                 if (
                     self.global_step % opts.val_interval == 0
                     and self.global_step > 0
@@ -515,10 +543,36 @@ class Coach:
         record = {"step": self.global_step, "prefix": prefix, **metrics}
         with open(self.log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.tb_writer is not None:
+            for k, v in metrics.items():
+                self.tb_writer.add_scalar(f"{prefix}/{k}", v, self.global_step)
         print(
             f"[{prefix} step {self.global_step}] "
             + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
         )
+
+    def log_images(self, name: str, onehot, img, recon, display_count: int = 2):
+        """Matplotlib face grids (ref: coach.py:465-491)."""
+        from e4s_tpu.utils.img_utils import tensor2im, tensor2map, vis_faces
+
+        img, onehot, recon = map(np.asarray, (img, onehot, recon))
+        rows = [
+            {
+                "input_face": tensor2im(img[i]),
+                "input_mask": tensor2map(onehot[i]),
+                "recon_styleCode": tensor2im(recon[i]),
+            }
+            for i in range(min(display_count, len(img)))
+        ]
+        fig = vis_faces(rows)
+        path = os.path.join(
+            self.opts.exp_dir, "logs", name, f"{self.global_step:06d}.jpg"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fig.savefig(path)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
 
     def checkpoint_me(self, loss_dict, is_best: bool):
         import orbax.checkpoint as ocp
