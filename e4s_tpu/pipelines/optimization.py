@@ -127,14 +127,14 @@ class Optimizer:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(sv)
             updates, opt_state = tx.update(grads, opt_state, sv)
             sv = optax.apply_updates(sv, updates)
-            return (sv, opt_state), aux["loss"]
+            return (sv, opt_state), (aux["loss"], sv)
 
         opt_state = tx.init(sv_init)
-        (sv, _), losses = jax.lax.scan(
+        (sv, _), (losses, sv_trace) = jax.lax.scan(
             step, (sv_init, opt_state), None, length=n_steps
         )
         recon = self._gen_from_sv(sv, onehot)
-        return sv, recon, losses
+        return sv, recon, losses, sv_trace
 
     def invertion(self, sample_idx: int, save: bool = True):
         """ref: scripts/optimization.py:163-241"""
@@ -152,7 +152,7 @@ class Optimizer:
         )
         recon0 = self._gen_from_sv(sv_init, onehot)
 
-        sv, recon, losses = self._scan_refine(
+        sv, recon, losses, sv_trace = self._scan_refine(
             sv_init, img, onehot,
             n_steps=opts.W_steps, save_every=opts.save_interval,
         )
@@ -165,6 +165,20 @@ class Optimizer:
             tensor2im(np.asarray(recon0[0])).save(
                 os.path.join(folder, f"{name}_recon.png")
             )
+            # intermediate latents every save_interval steps
+            # (ref: optimization.py:229-232, 243-256)
+            if getattr(opts, "save_intermediate", False):
+                for step in range(opts.save_interval, opts.W_steps, opts.save_interval):
+                    inter_sv = np.asarray(sv_trace[step - 1])
+                    np.save(
+                        os.path.join(folder, f"{name}_{step:04d}.npy"), inter_sv
+                    )
+                    inter_recon = self._gen_from_sv(
+                        jnp.asarray(inter_sv), onehot
+                    )
+                    tensor2im(np.asarray(inter_recon[0])).save(
+                        os.path.join(folder, f"{name}_{step:04d}.png")
+                    )
             tensor2im(np.asarray(recon[0])).save(
                 os.path.join(folder, f"{name}_{opts.W_steps:04d}.png")
             )

@@ -109,6 +109,38 @@ def reconstruct_core(net: Net3):
     return recon
 
 
+def _cv2_gaussian_taps(ksize: int):
+    """cv2.getGaussianKernel(ksize, sigma=0): sigma from the ksize formula."""
+    import numpy as np
+
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    xs = np.arange(ksize) - (ksize - 1) / 2
+    k = np.exp(-(xs**2) / (2 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _gaussian_blur(x, ksize: int):
+    """Separable Gaussian with zero ("constant") borders like cv2 on a padded
+    alpha; x: [B,1,H,W]."""
+    from jax import lax
+    import numpy as np
+
+    taps = jnp.asarray(_cv2_gaussian_taps(ksize), x.dtype)
+    p = ksize // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (p, p), (0, 0)))
+    kv = taps.reshape(ksize, 1, 1, 1)
+    x = lax.conv_general_dilated(
+        xp, kv, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"), feature_group_count=1,
+    )
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (p, p)))
+    kh = taps.reshape(1, ksize, 1, 1)
+    return lax.conv_general_dilated(
+        xp, kh, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"), feature_group_count=1,
+    )
+
+
 def stitch_foreground(swapped_face, target_img, swapped_label, hole_map,
                       outer_dilation: int = 5):
     """Build the foreground mask and alpha-feather the swap onto the target.
@@ -116,10 +148,15 @@ def stitch_foreground(swapped_face, target_img, swapped_label, hole_map,
     Device version of the default (non-Laplacian) stitch
     (ref: scripts/face_swap.py:276-311): background = classes {0, 11, 4},
     holes are foreground, dilate by ``outer_dilation``, bilinear-resize to
-    1024 and alpha-composite.
+    out res, then the smooth_face_boundry feather (ref: face_swap.py:81-97):
+    erode by (2r+1)^2 and Gaussian-blur (sigmaX=0 -> cv2 ksize formula)
+    before alpha-compositing.
     swapped_face/target_img: [B,3,S,S] in [-1,1]; swapped_label: [B,1,h,w];
     hole_map: [B,1,h,w] (255 at holes).
     """
+    from e4s_tpu.ops.morphology import erosion
+    import numpy as np
+
     mask_bg = (
         (swapped_label == 0) | (swapped_label == 11) | (swapped_label == 4)
     )
@@ -130,4 +167,9 @@ def stitch_foreground(swapped_face, target_img, swapped_label, hole_map,
     S = swapped_face.shape[-1]
     full_mask = bilinear_resize(full_mask, (S, S))
     alpha = jnp.clip(full_mask, 0.0, 1.0)
+    if outer_dilation != 0:
+        ksize = 2 * outer_dilation + 1
+        k = np.ones((ksize, ksize), np.float32)
+        alpha = erosion(alpha, k)
+        alpha = jnp.clip(_gaussian_blur(alpha, ksize), 0.0, 1.0)
     return swapped_face * alpha + target_img * (1.0 - alpha)
