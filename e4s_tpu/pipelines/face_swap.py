@@ -200,6 +200,58 @@ class FaceSwapper:
         return result
 
 
+    # ------------------------- batched API ------------------------------
+
+    def swap_batch(self, source_arrays, target_arrays, target_masks=None):
+        """Batched swap of N (source, target) pairs in one device pass.
+
+        BASELINE config #5: batched CelebAMask-HQ swap throughput with the
+        parser + encoder + generator pipelined on TPU. Arrays are [N,3,S,S]
+        float in [0,1]; returns the swapped faces as [N,3,S,S] in [0,1]
+        (stitched with the default feather).
+        """
+        S01 = np.asarray(source_arrays, np.float32)
+        T01 = np.asarray(target_arrays, np.float32)
+        opts = self.opts
+
+        D01 = S01
+        if self.reenactor is not None:
+            D01 = self.reenactor(S01, T01)
+            if self.restorer is not None:
+                D01 = self.restorer(D01)
+
+        D_masks = self._parse12(D01)
+        T_masks = (
+            self._parse12(T01) if target_masks is None else target_masks
+        )
+
+        swapped, holes = [], []
+        for d_m, t_m in zip(D_masks, T_masks):
+            s_m, h_m = swap_head_mask(d_m, t_m)
+            swapped.append(s_m)
+            holes.append(h_m)
+        swapped_msk = np.stack(swapped)
+        hole_map = np.stack(holes)
+
+        driven = jnp.asarray(D01 * 2 - 1)
+        target_t = jnp.asarray(T01 * 2 - 1)
+        d_oh = jnp.asarray(label_map_to_onehot(D_masks[:, None], opts.num_seg_cls))
+        t_oh = jnp.asarray(label_map_to_onehot(T_masks[:, None], opts.num_seg_cls))
+        s_oh = jnp.asarray(
+            label_map_to_onehot(swapped_msk[:, None], opts.num_seg_cls)
+        )
+        faces = self._swap_core(
+            self.variables, driven, target_t, d_oh, t_oh, s_oh, self.latent_avg
+        )
+        stitched = self._stitch(
+            faces, target_t,
+            jnp.asarray(swapped_msk[:, None].astype(np.int32)),
+            jnp.asarray(hole_map[:, None].astype(np.int32)),
+            outer_dilation=5,
+        )
+        return np.clip((np.asarray(stitched) + 1) / 2, 0, 1)
+
+
 def faceSwapping_pipeline(
     source, target, opts, save_dir, target_mask=None, need_crop=False,
     verbose=False, only_target_crop=False, reenactor=None, restorer=None,

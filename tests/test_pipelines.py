@@ -110,3 +110,16 @@ def test_optimization_pipeline_smoke(tmp_path):
     assert losses.shape == (3,)
     assert np.all(np.isfinite(losses))
     assert os.path.exists(tmp_path / "sample_1" / "sample_1_0003.png")
+
+
+def test_swap_batch(tmp_path):
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    opts = small_swap_opts(tmp_path)
+    swapper = FaceSwapper(opts, parser=FakeParser())
+    rng = np.random.RandomState(0)
+    src = rng.rand(3, 3, 64, 64).astype(np.float32)
+    tgt = rng.rand(3, 3, 64, 64).astype(np.float32)
+    out = swapper.swap_batch(src, tgt)
+    assert out.shape == (3, 3, 64, 64)
+    assert 0.0 <= out.min() and out.max() <= 1.0
