@@ -28,12 +28,22 @@ from e4s_tpu.models.gpen.rrdbnet import RRDBNet
 class FaceGAN:
     """ref: face_model/face_gan.py"""
 
-    def __init__(self, in_size=512, variables=None, channel_multiplier=2,
-                 narrow=1, seed=0):
+    def __init__(self, in_size=512, out_size=None, variables=None,
+                 channel_multiplier=2, narrow=1, seed=0):
         self.in_size = in_size
-        self.model = GPENFullGenerator(
-            size=in_size, channel_multiplier=channel_multiplier, narrow=narrow
-        )
+        self.out_size = in_size if out_size is None else out_size
+        if self.out_size == self.in_size:
+            self.model = GPENFullGenerator(
+                size=in_size, channel_multiplier=channel_multiplier,
+                narrow=narrow,
+            )
+        else:  # ref: face_model/face_gan.py:30-33
+            from e4s_tpu.models.gpen.gpen_model import GPENFullGeneratorSR
+
+            self.model = GPENFullGeneratorSR(
+                in_size=in_size, out_size=self.out_size,
+                channel_multiplier=channel_multiplier, narrow=narrow,
+            )
         if variables is None:
             x0 = jnp.zeros((1, 3, in_size, in_size), jnp.float32)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x0)

@@ -77,7 +77,15 @@ class GPENStyledConv(nn.Module):
         )(x, style)
         w = self.param("noise_weight", nn.initializers.zeros, (1,))
         if noise is None:
-            noise = jnp.zeros_like(out)
+            # ref NoiseInjection samples fresh normal noise when none is
+            # provided (gpen_model.py:294-297); fall back to zeros when no
+            # rng stream is supplied (deterministic use)
+            if self.has_rng("noise"):
+                noise = jax.random.normal(
+                    self.make_rng("noise"), out.shape, out.dtype
+                )
+            else:
+                noise = jnp.zeros_like(out)
         if self.isconcat:
             out = jnp.concatenate([out, w.astype(out.dtype) * noise], axis=1)
         else:
@@ -167,6 +175,54 @@ class GPENGenerator(nn.Module):
         if return_latents:
             return skip, latent
         return skip, None
+
+
+class GPENFullGeneratorSR(nn.Module):
+    """Encoder at in_size + generator decoding to out_size > in_size; the
+    extra top scales get no encoder skips (zero noise).
+
+    ref: gpen_model.py:752-818 (FullGenerator_SR)
+    """
+
+    in_size: int = 512
+    out_size: int = 1024
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    narrow: float = 1.0
+    isconcat: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        channels = gpen_channels(self.channel_multiplier, self.narrow)
+        log_in = int(math.log2(self.in_size))
+        log_out = int(math.log2(self.out_size))
+
+        noise = [None] * (log_out - log_in)
+        out = ConvLayer(channels[self.in_size], 1, name="ecd0")(x)
+        noise.append(out)
+        for idx, s in enumerate(range(log_in, 2, -1)):
+            out_channel = channels[2 ** (s - 1)]
+            out = ConvLayer(
+                out_channel, 3, downsample=True, name=f"ecd{idx + 1}"
+            )(out)
+            noise.append(out)
+
+        flat = out.reshape(out.shape[0], -1)
+        style = EqualLinear(
+            self.style_dim, activation="fused_lrelu", name="final_linear"
+        )(flat)
+
+        doubled = []
+        for n in noise:
+            doubled += [n, n]
+        noise_sched = doubled[::-1][1:]
+
+        return GPENGenerator(
+            size=self.out_size, style_dim=self.style_dim, n_mlp=self.n_mlp,
+            channel_multiplier=self.channel_multiplier, narrow=self.narrow,
+            isconcat=self.isconcat, name="generator",
+        )([style], noise=noise_sched)
 
 
 class GPENFullGenerator(nn.Module):

@@ -97,3 +97,16 @@ def test_reference_points_e4s_config():
     pts = get_reference_facial_points((512, 512), 0.25, (0, 0), True)
     assert pts.shape == (5, 2)
     assert 0 < pts.min() and pts.max() < 512
+
+
+def test_gpen_full_generator_sr_shapes():
+    from e4s_tpu.models.gpen.gpen_model import GPENFullGeneratorSR
+
+    model = GPENFullGeneratorSR(in_size=32, out_size=64)
+    x = jnp.zeros((1, 3, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x)
+    assert out.shape == (1, 3, 64, 64)
+    # with a noise rng stream the top scales get random injection
+    out2, _ = model.apply(variables, x, rngs={"noise": jax.random.PRNGKey(1)})
+    assert out2.shape == (1, 3, 64, 64)
