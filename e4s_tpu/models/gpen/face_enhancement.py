@@ -117,7 +117,8 @@ class FaceEnhancement:
         variables = variables or {}
         self.facedetector = RetinaFaceDetector(variables.get("retinaface"))
         self.facegan = FaceGAN(
-            in_size, variables.get("facegan"), channel_multiplier, narrow
+            in_size, out_size, variables.get("facegan"),
+            channel_multiplier, narrow,
         )
         self.srmodel = RealESRNet(sr_scale, variables.get("srmodel"))
         self.faceparser = FaceParse(variables.get("parsenet"))
