@@ -429,6 +429,12 @@ class Coach:
         train_loader, test_loader = self.configure_datasets()
         rng = jax.random.PRNGKey(opts.seed + 17)
 
+        from e4s_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer(
+            log_path=os.path.join(opts.exp_dir, "logs", "step_times.jsonl")
+        )
+
         while self.global_step <= max_steps:
             for batch in train_loader:
                 if self.global_step > max_steps:
@@ -443,6 +449,7 @@ class Coach:
                     self.mesh,
                 )
                 rng, k_d, k_g = jax.random.split(rng, 3)
+                timer.start()
 
                 d_loss_dict = {}
                 if self.D is not None and self.global_step % opts.d_every == 0:
@@ -465,6 +472,8 @@ class Coach:
 
                 if self.global_step % opts.board_interval == 0:
                     loss_dict = {k: float(v) for k, v in losses.items()}
+                    # float() above forces the host readback the timer needs
+                    loss_dict["step_time_s"] = timer.stop(self.global_step)
                     loss_dict.update(d_loss_dict)
                     self._log_metrics(loss_dict, prefix="train")
 
