@@ -84,7 +84,20 @@ class FaceVid2Vid:
                 "generator": jax.jit(self.generator.init)(k, x0, kp0, kp0),
             }
         self.variables = variables
-        self._jit_drive = jax.jit(self._drive)
+        # Split into three jitted programs: the single fused program exceeds
+        # the axon remote compiler's HLO size limit (HTTP 413), and the
+        # kp/he programs are reused across frames anyway.
+        self._jit_kp = jax.jit(
+            lambda v, x: self.kp_detector.apply(v, x)
+        )
+        self._jit_he = jax.jit(
+            lambda v, x: self.he_estimator.apply(v, x)
+        )
+        self._jit_gen = jax.jit(
+            lambda v, src, kp_d, kp_s: self.generator.apply(
+                v, src, kp_d, kp_s
+            )["prediction"]
+        )
 
     def _drive(self, source256, driving256):
         """source/driving: [B,3,256,256] in [0,1] -> prediction [B,3,256,256].
@@ -92,27 +105,20 @@ class FaceVid2Vid:
         ref: driven_demo.py:182-211 — kp_canonical from source, head pose from
         each image, generator(source, kp_driving, kp_source).
         """
-        kp_canonical = self.kp_detector.apply(
-            self.variables["kp_detector"], source256
-        )
-        he_source = self.he_estimator.apply(
-            self.variables["he_estimator"], source256
-        )
-        he_driving = self.he_estimator.apply(
-            self.variables["he_estimator"], driving256
-        )
+        kp_canonical = self._jit_kp(self.variables["kp_detector"], source256)
+        he_source = self._jit_he(self.variables["he_estimator"], source256)
+        he_driving = self._jit_he(self.variables["he_estimator"], driving256)
         kp_source = keypoint_transformation(kp_canonical, he_source)
         kp_driving = keypoint_transformation(kp_canonical, he_driving)
-        out = self.generator.apply(
+        return self._jit_gen(
             self.variables["generator"], source256, kp_driving, kp_source
         )
-        return out["prediction"]
 
     def drive(self, source01, driving01):
         """[B,3,H,W] [0,1] arrays at any res -> driven [B,3,256,256] [0,1]."""
         s = bilinear_resize(jnp.asarray(source01), (256, 256))
         d = bilinear_resize(jnp.asarray(driving01), (256, 256))
-        return self._jit_drive(s, d)
+        return self._drive(s, d)
 
 
 def drive_source(model: FaceVid2Vid, source01, driving_list):
