@@ -181,6 +181,45 @@ class Coach:
             remaining_layer_idx=opts.remaining_layer_idx,
         )
 
+        # StyleGAN2 bootstrap (ref: coach.py:106-136): load g_ema/d/latent_avg
+        # from the rosinality checkpoint when present and no resume ckpt given.
+        latent_avg_boot = None
+        sg_path = getattr(opts, "stylegan_weights", None)
+        if not getattr(opts, "checkpoint_path", None) and sg_path and os.path.exists(sg_path):
+            from e4s_tpu.utils.torch_convert import load_stylegan2_checkpoint
+
+            g_params, g_noises, d_conv, la = load_stylegan2_checkpoint(sg_path)
+            params = dict(params)
+            params["G"] = jax.tree_util.tree_map(jnp.asarray, g_params)
+            if g_noises:
+                noises = dict(noises)
+                noises["G"] = jax.tree_util.tree_map(jnp.asarray, g_noises)
+            if params_d is not None and d_conv is not None and opts.out_size == 1024:
+                params_d = jax.tree_util.tree_map(jnp.asarray, d_conv)
+            if la is not None:
+                latent_avg_boot = jnp.tile(
+                    jnp.asarray(la).reshape(1, 512), (opts.n_styles, 1)
+                )
+            print(f"[coach] loaded StyleGAN2 bootstrap from {sg_path}")
+
+        # Estimate latent_avg by dense sampling when unavailable
+        # (ref: coach.py:139-144).
+        if latent_avg_boot is None and opts.start_from_latent_avg and not getattr(opts, "checkpoint_path", None):
+            from e4s_tpu.models.stylegan2 import Generator
+
+            gen = Generator(
+                size=opts.out_size,
+                remaining_layer_idx=opts.remaining_layer_idx,
+            )
+            n_sample = int(getattr(opts, "latent_avg_samples", 100_000))
+            la = jax.jit(
+                lambda p, n, k: gen.apply(
+                    {"params": p, "noises": n}, k, n_sample,
+                    method=Generator.mean_latent,
+                )
+            )(params["G"], noises.get("G", {}), jax.random.PRNGKey(0))
+            latent_avg_boot = jnp.tile(la.reshape(1, 512), (opts.n_styles, 1))
+
         self.state = TrainState(
             step=jnp.zeros([], jnp.int32),
             params=params,
@@ -188,7 +227,9 @@ class Coach:
             opt_state=self.tx.init(params),
             # explicit copy: EMA must not alias the params buffers (donation)
             ema_params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
-            latent_avg=latent_avg0,
+            latent_avg=(
+                latent_avg_boot if latent_avg_boot is not None else latent_avg0
+            ),
             params_d=params_d,
             opt_state_d=self.tx_d.init(params_d) if params_d is not None else None,
         )
