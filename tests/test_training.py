@@ -131,9 +131,21 @@ def test_ranger_optimizer_steps():
     tx = ranger(1e-2)
     params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
     state = tx.init(params)
+    rng = np.random.RandomState(0)
+    # NB: non-constant gradients — gradient centralisation (by design, as in
+    # the reference Ranger) removes the per-row mean of rank>1 gradients, so
+    # a constant gradient is centralised to exactly zero.
+    g_w = jnp.asarray(rng.rand(4, 4).astype(np.float32) * 0.2)
     for i in range(8):
-        grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.1, params)
+        grads = {"w": g_w, "b": jnp.ones((4,)) * 0.1}
         updates, state = tx.update(grads, state, params)
         params = optax.apply_updates(params, updates)
     assert np.all(np.isfinite(np.asarray(params["w"])))
-    assert float(jnp.mean(params["w"])) < 1.0  # moved against the gradient
+    assert float(jnp.mean(params["b"])) < 0.0  # moved against the gradient
+    assert float(jnp.std(params["w"])) > 0.0  # centralised grads still update
+
+    # constant rank>1 gradients are centralised to zero (reference parity)
+    params2 = {"w": jnp.ones((4, 4))}
+    state2 = tx.init(params2)
+    up2, _ = tx.update({"w": jnp.ones((4, 4)) * 0.1}, state2, params2)
+    np.testing.assert_allclose(np.asarray(up2["w"]), 0.0, atol=1e-8)
