@@ -91,6 +91,7 @@ def modulated_conv2d(
     up: bool = False,
     down: bool = False,
     blur_kernel=(1, 3, 3, 1),
+    up_polyphase: bool = False,
 ) -> jnp.ndarray:
     """StyleGAN2 modulated conv, fused-path semantics.
 
@@ -105,7 +106,30 @@ def modulated_conv2d(
     xm = x * s[:, :, None, None].astype(x.dtype)
 
     if up:
-        # conv_transpose(stride 2) then blur (ref: model.py:287-300).
+        # conv_transpose(stride 2) then blur (ref: model.py:287-300). The
+        # polyphase fold (4 phase convs, exact) is available behind
+        # up_polyphase but measured SLOWER than convT+blur on v5e at the
+        # 512-channel tail (34 vs 40 swaps/s end to end): the 4 phase convs
+        # re-read x and XLA's fused convT is already strong. Kept off.
+        if up_polyphase and ksize == 3 and len(blur_kernel) == 4:
+            bk = make_kernel(blur_kernel) * 4.0
+            E = _composite_up_kernel(w_scaled, bk)  # [Co,Ci,6,6]
+            B, Ci, H, W = x.shape
+            Co = w_scaled.shape[0]
+            phases = []
+            for a in (0, 1):
+                row = []
+                for b in (0, 1):
+                    Kab = E[:, :, (a + 4, a + 2, a), :][:, :, :, (b + 4, b + 2, b)]
+                    row.append(convops.conv2d(xm, Kab, padding=1))
+                phases.append(row)
+            out = jnp.stack(
+                [jnp.stack(r, axis=-1) for r in phases], axis=-3
+            ).reshape(B, Co, H, 2, W, 2).reshape(B, Co, 2 * H, 2 * W)
+            if demodulate:
+                d = demod_coeff(w_scaled, s)
+                out = out * d[:, :, None, None].astype(out.dtype)
+            return out
         out = convops.conv_transpose2d(
             xm, jnp.swapaxes(w_scaled, 0, 1), stride=2, padding=0
         )
@@ -154,8 +178,11 @@ def masked_modulated_conv2d_naive(
     Ho, Wo = (H * 2, W * 2) if up else (H, W)
     xt = jnp.broadcast_to(x[:, None], (B, R) + x.shape[1:]).reshape((B * R,) + x.shape[1:])
     st = s.reshape(B * R, Ci)
+    # up_polyphase=False: keep the reference convT+blur formulation so this
+    # path stays an independent oracle for the factorised/polyphase ones.
     out = modulated_conv2d(
-        xt, w_scaled, st, demodulate=demodulate, up=up, blur_kernel=blur_kernel
+        xt, w_scaled, st, demodulate=demodulate, up=up,
+        blur_kernel=blur_kernel, up_polyphase=False,
     )
     out = out.reshape(B, R, -1, Ho, Wo)
     seg = nearest_resize(mask, (Ho, Wo)).astype(out.dtype)
