@@ -17,6 +17,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
         return
     import jax
 
+    # CPU-backend caching is DISABLED: XLA:CPU AOT cache entries written with
+    # mismatched machine-feature sets (+prefer-no-scatter/-gather) reload with
+    # "may SIGILL" warnings and have produced real SIGABRTs mid-suite here.
+    # The cache is only a compile-time optimisation on the TPU backend.
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
+
     cache_dir = cache_dir or os.environ.get("E4S_TPU_CACHE_DIR", DEFAULT_CACHE_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     try:
