@@ -14,6 +14,8 @@ class SwapFacePipelineOptions:
         p.add_argument('--train_G', default=True, type=lambda x: str(x).lower() != 'false')
         p.add_argument('--lap_bld', action='store_true',
                        help='Whether to use Laplacian multi-band blending')
+        p.add_argument('--bf16', action='store_true',
+                       help='bfloat16 inference (f32 demod/accum retained)')
         # ================= Model =====================
         p.add_argument('--out_size', type=int, default=1024)
         p.add_argument('--fsencoder_type', type=str, default="psp")

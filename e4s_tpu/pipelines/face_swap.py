@@ -138,12 +138,17 @@ class FaceSwapper:
                 os.path.join(save_dir, "swappedMaskVis.png")
             )
 
-        driven = jnp.asarray(D01 * 2 - 1)
-        target_t = jnp.asarray(T01 * 2 - 1)
-        d_onehot = jnp.asarray(label_map_to_onehot(D_mask[None, None], opts.num_seg_cls))
-        t_onehot = jnp.asarray(label_map_to_onehot(T_mask[None, None], opts.num_seg_cls))
+        dt = jnp.bfloat16 if getattr(opts, "bf16", False) else jnp.float32
+        driven = jnp.asarray(D01 * 2 - 1, dt)
+        target_t = jnp.asarray(T01 * 2 - 1, dt)
+        d_onehot = jnp.asarray(
+            label_map_to_onehot(D_mask[None, None], opts.num_seg_cls), dt
+        )
+        t_onehot = jnp.asarray(
+            label_map_to_onehot(T_mask[None, None], opts.num_seg_cls), dt
+        )
         s_onehot = jnp.asarray(
-            label_map_to_onehot(swapped_msk[None, None], opts.num_seg_cls)
+            label_map_to_onehot(swapped_msk[None, None], opts.num_seg_cls), dt
         )
 
         # (3)+(5) one jitted core

@@ -123,3 +123,14 @@ def test_swap_batch(tmp_path):
     out = swapper.swap_batch(src, tgt)
     assert out.shape == (3, 3, 64, 64)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_face_swap_bf16(tmp_path):
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    src, tgt = _write_test_images(tmp_path)
+    opts = small_swap_opts(tmp_path)
+    opts.bf16 = True
+    swapper = FaceSwapper(opts, parser=FakeParser())
+    result = swapper.swap(src, tgt, save_dir=str(tmp_path / "out"))
+    assert result.size == (64, 64)
