@@ -45,11 +45,26 @@ class Optimizer:
         if dataset is not None:
             self.test_ds = dataset
         else:
-            from e4s_tpu.datasets.dataset import CelebAHQDataset
+            import os as _os
 
-            self.test_ds = CelebAHQDataset(
-                dataset_root=opts.dataset_root, mode="test", fraction=opts.ds_frac
+            from e4s_tpu.datasets.dataset import (
+                CelebAHQDataset,
+                SyntheticFaceDataset,
             )
+
+            if _os.path.isdir(_os.path.join(opts.dataset_root, "CelebA-HQ-img")):
+                self.test_ds = CelebAHQDataset(
+                    dataset_root=opts.dataset_root, mode="test",
+                    fraction=opts.ds_frac,
+                )
+            else:
+                print(
+                    f"[e4s_tpu] WARNING: CelebAMask-HQ not found at "
+                    f"{opts.dataset_root}; using the synthetic dataset"
+                )
+                self.test_ds = SyntheticFaceDataset(
+                    size=opts.out_size, num_seg_cls=opts.num_seg_cls, length=256
+                )
         self.net, self.variables, self.latent_avg = load_net3(opts)
 
         self.id_loss = IDLoss(multiscale=opts.id_loss_multiscale)
