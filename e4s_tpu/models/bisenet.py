@@ -261,9 +261,11 @@ class FaceParser:
                 jax.random.PRNGKey(rng_seed), x0
             )
         self.variables = variables
+        # variables passed as an argument (not closed over) so the weights
+        # are not embedded as constants in the serialized program
         self._jit_forward = jax.jit(self._forward)
 
-    def _forward(self, img01):
+    def _forward(self, variables, img01):
         if img01.shape[-1] >= 512:
             im = bicubic_downsample(img01, img01.shape[-1] // 512)
             im = jnp.clip(im, 0.0, 1.0)
@@ -271,11 +273,11 @@ class FaceParser:
             im = bilinear_resize(img01, (512, 512))
             im = jnp.clip(im, 0.0, 1.0)
         im = (im - jnp.asarray(SEG_MEAN)) / jnp.asarray(SEG_STD)
-        out, _, _ = self.model.apply(self.variables, im)
+        out, _, _ = self.model.apply(variables, im)
         return jnp.argmax(out, axis=1).astype(jnp.int32)
 
     def __call__(self, img01):
-        return self._jit_forward(img01)
+        return self._jit_forward(self.variables, img01)
 
 
 def face_parsing_demo(parser: FaceParser, img01, convert_to_seg12: bool = True):

@@ -289,13 +289,13 @@ class SegNeXtFaceParser:
         self.variables = variables
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, img01):
+    def _forward(self, variables, img01):
         x = bilinear_resize(img01, (self.size, self.size)) * 255.0
         mean = jnp.asarray(SEGNEXT_MEAN).reshape(1, 3, 1, 1)
         std = jnp.asarray(SEGNEXT_STD).reshape(1, 3, 1, 1)
         x = (x - mean) / std
-        logits = self.model.apply(self.variables, x)
+        logits = self.model.apply(variables, x)
         return jnp.argmax(logits, axis=1).astype(jnp.int32)
 
     def __call__(self, img01):
-        return self._jit(img01)
+        return self._jit(self.variables, img01)

@@ -51,6 +51,9 @@ class TrainOptions:
         p.add_argument('--seed', default=0, type=int)
         p.add_argument('--bf16', action='store_true',
                        help='bfloat16 activations (params stay fp32)')
+        p.add_argument('--tensorboard', action='store_true',
+                       help='also write TensorBoard scalars (imports torch; '
+                            'JSONL metrics are always written)')
         # ================= Loss Function =====================
         p.add_argument('--lpips_lambda', default=0.8, type=float)
         p.add_argument('--id_lambda', default=0.1, type=float)

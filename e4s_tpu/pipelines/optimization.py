@@ -85,14 +85,18 @@ class Optimizer:
         self._scan_refine = jax.jit(
             self._refine, static_argnames=("n_steps", "save_every")
         )
+        self._jit_step = jax.jit(self._one_step)
 
     # loss on the recon (ref: optimization.py:91-122)
     def _calc_loss(self, img, recon):
+        return self._calc_loss_fn(self.loss_vars, img, recon)
+
+    def _calc_loss_fn(self, loss_vars, img, recon):
         opts = self.opts
         loss = 0.0
         aux = {}
         if opts.id_lambda > 0:
-            lid, _ = self.id_loss.apply(self.loss_vars["id"], recon, img)
+            lid, _ = self.id_loss.apply(loss_vars["id"], recon, img)
             aux["loss_id"] = lid
             loss = loss + lid * opts.id_lambda
         if opts.l2_lambda > 0:
@@ -104,37 +108,71 @@ class Optimizer:
             for i in range(3):
                 s = max(opts.out_size // (2**i), 32)
                 lp = lp + self.lpips.apply(
-                    self.loss_vars["lpips"],
+                    loss_vars["lpips"],
                     adaptive_avg_pool2d(recon, (s, s)),
                     adaptive_avg_pool2d(img, (s, s)),
                 )
             aux["loss_lpips"] = lp
             loss = loss + lp * opts.lpips_lambda
         if opts.face_parsing_lambda > 0:
-            lpar, _ = self.parsing_loss.apply(self.loss_vars["parsing"], recon, img)
+            lpar, _ = self.parsing_loss.apply(loss_vars["parsing"], recon, img)
             aux["loss_face_parsing"] = lpar
             loss = loss + lpar * opts.face_parsing_lambda
         aux["loss"] = loss
         return loss, aux
 
-    def _gen_from_sv(self, style_vectors, onehot):
+    def _gen_from_sv_fn(self, variables, latent_avg, style_vectors, onehot):
         codes = self.net.apply(
-            self.variables, style_vectors, self.latent_avg,
-            method=Net3.cal_style_codes,
+            variables, style_vectors, latent_avg, method=Net3.cal_style_codes
         )
         struc = jnp.zeros((style_vectors.shape[0], 512, 32, 32), jnp.float32)
         img, _, _ = self.net.apply(
-            self.variables, struc, codes, onehot,
+            variables, struc, codes, onehot,
             method=Net3.gen_img, randomize_noise=False,
         )
         return img
 
-    def _refine(self, sv_init, img, onehot, n_steps: int, save_every: int):
+    def _gen_from_sv(self, style_vectors, onehot):
+        return self._gen_from_sv_fn(
+            self.variables, self.latent_avg, style_vectors, onehot
+        )
+
+    def _one_step(self, variables, latent_avg, loss_vars, sv, opt_state, img, onehot):
+        def loss_fn(v):
+            recon = self._gen_from_sv_fn(variables, latent_avg, v, onehot)
+            loss, aux = self._calc_loss_fn(loss_vars, img, recon)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(sv)
+        updates, opt_state = self.tx.update(grads, opt_state, sv)
+        sv = optax.apply_updates(sv, updates)
+        return sv, opt_state, aux["loss"]
+
+    def _refine_host_loop(self, sv_init, img, onehot, n_steps: int):
+        """Fallback when the scanned program exceeds the remote compiler's
+        size limit: same math, one jitted step dispatched per iteration."""
+        import numpy as _np
+
+        opt_state = self.tx.init(sv_init)
+        sv = sv_init
+        losses = []
+        for _ in range(n_steps):
+            sv, opt_state, loss = self._jit_step(
+                self.variables, self.latent_avg, self.loss_vars,
+                sv, opt_state, img, onehot,
+            )
+            losses.append(loss)
+        recon = self._gen_from_sv(sv, onehot)
+        trace = jnp.broadcast_to(sv[None], (n_steps,) + sv.shape)
+        return sv, recon, jnp.stack(losses), trace
+
+    def _refine(self, variables, latent_avg, loss_vars, sv_init, img, onehot,
+                n_steps: int, save_every: int):
         tx = self.tx
 
         def loss_fn(sv):
-            recon = self._gen_from_sv(sv, onehot)
-            loss, aux = self._calc_loss(img, recon)
+            recon = self._gen_from_sv_fn(variables, latent_avg, sv, onehot)
+            loss, aux = self._calc_loss_fn(loss_vars, img, recon)
             return loss, aux
 
         def step(carry, _):
@@ -148,7 +186,7 @@ class Optimizer:
         (sv, _), (losses, sv_trace) = jax.lax.scan(
             step, (sv_init, opt_state), None, length=n_steps
         )
-        recon = self._gen_from_sv(sv, onehot)
+        recon = self._gen_from_sv_fn(variables, latent_avg, sv, onehot)
         return sv, recon, losses, sv_trace
 
     def invertion(self, sample_idx: int, save: bool = True):
@@ -167,10 +205,18 @@ class Optimizer:
         )
         recon0 = self._gen_from_sv(sv_init, onehot)
 
-        sv, recon, losses, sv_trace = self._scan_refine(
-            sv_init, img, onehot,
-            n_steps=opts.W_steps, save_every=opts.save_interval,
-        )
+        try:
+            sv, recon, losses, sv_trace = self._scan_refine(
+                self.variables, self.latent_avg, self.loss_vars,
+                sv_init, img, onehot,
+                n_steps=opts.W_steps, save_every=opts.save_interval,
+            )
+        except Exception as e:  # e.g. remote-compiler size limit
+            print(f"[e4s_tpu] scanned refinement unavailable ({type(e).__name__}); "
+                  "falling back to per-step dispatch")
+            sv, recon, losses, sv_trace = self._refine_host_loop(
+                sv_init, img, onehot, opts.W_steps
+            )
 
         if save:
             name = f"sample_{sample_idx}"

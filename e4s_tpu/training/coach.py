@@ -250,9 +250,12 @@ class Coach:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.dirname(self.log_path), exist_ok=True)
         self.best_val_loss = None
-        # TensorBoard writer (ref: coach.py:192-196 TensorBoardX); optional.
+        # TensorBoard writer (ref: coach.py:192-196 TensorBoardX). OPT-IN:
+        # torch.utils.tensorboard imports torch, whose OpenMP runtime clashes
+        # with XLA:CPU in-process (observed native SIGABRTs); metrics always
+        # go to logs/metrics.jsonl regardless.
         self.tb_writer = None
-        if not getattr(opts, "no_tensorboard", False):
+        if getattr(opts, "tensorboard", False):
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
