@@ -34,7 +34,7 @@ def small_opts(**kw):
         board_interval=1,
         val_interval=1000,
         save_interval=1000,
-        image_interval=1000,
+        image_interval=0,
         seed=0,
         learning_rate=1e-4,
         optim_name="adam",
