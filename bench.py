@@ -1,14 +1,23 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Flagship metric: 1024px swaps/sec/chip for the core swap compute (style
-extraction x2 + texture swap + mask-guided 1024^2 synthesis), plus p50
-end-to-end core latency and batched throughput.
+Covers the BASELINE.md rebuild configs:
+  #1 end-to-end face swap on the example pair (BiSeNet parse x2 + host mask
+     swap + jitted swap core + stitch)              -> PRIMARY metric
+  #4 optimization (inversion) refinement            -> inversion_iters_per_sec
+  #5 batched 64-image swap throughput               -> batch64_swaps_per_sec
+plus the core-only number (style extraction x2 + texture swap + synthesis)
+kept from round 1 as a secondary line.
 
 vs_baseline semantics: the reference publishes no numbers (BASELINE.md); the
-driver's north star is ">=5x CPU-reference throughput". We therefore measure
-the same jitted core on the host CPU backend once (cached in
-.bench_cpu_baseline.json) and report vs_baseline = tpu_throughput /
-(5 * cpu_throughput), i.e. >= 1.0 means the target is met.
+driver's north star is ">=5x CPU-reference throughput". We measure the SAME
+end-to-end pipeline on the host CPU backend (cached in
+.bench_cpu_baseline.json — the reference itself cannot run at all without
+CUDA ops) and report vs_baseline = tpu_e2e / (5 * cpu_e2e); >= 1.0 means the
+target is met.
+
+Env knobs: BENCH_OUT_SIZE, BENCH_ITERS, BENCH_BF16, BENCH_FAST=1 (core-only),
+BENCH_SKIP_CPU_BASELINE, BENCH_BATCH64=0 to skip config #5,
+BENCH_INVERSION_STEPS.
 """
 
 from __future__ import annotations
@@ -16,41 +25,59 @@ from __future__ import annotations
 import json
 import os
 import time
+import types
 
 import numpy as np
 
 OUT_SIZE = int(os.environ.get("BENCH_OUT_SIZE", "1024"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
-BF16 = os.environ.get("BENCH_BF16", "0") == "1"
-CPU_BASELINE_CACHE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json"
-)
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+BF16 = os.environ.get("BENCH_BF16", "1") == "1"
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
+RUN_BATCH64 = os.environ.get("BENCH_BATCH64", "1") == "1"
+INVERSION_STEPS = int(os.environ.get("BENCH_INVERSION_STEPS", "200"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+CPU_BASELINE_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+EXAMPLE_DIR = os.path.join(REPO, "example", "input", "faceswap")
 
 
-def _build(backend_devices=None):
+def _sync(x):
+    """Force completion + host readback of a scalar derived from x.
+
+    NOTE: jax.block_until_ready does NOT synchronize on the axon TPU backend
+    (remote execution); a host transfer is the only reliable barrier.
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.mean(x))
+
+
+# --------------------------- core-only (round-1) ---------------------------
+
+
+def _build_core(batch=None):
     import jax
     import jax.numpy as jnp
 
     from e4s_tpu.models.net3 import Net3
     from e4s_tpu.pipelines.swap_core import make_swap_core
 
+    B = batch or BATCH
     net = Net3(out_size=OUT_SIZE, remaining_layer_idx=13, n_styles=18)
     S, R = OUT_SIZE, 12
 
     rng = np.random.RandomState(0)
-    driven = jnp.asarray(rng.rand(BATCH, 3, S, S).astype(np.float32) * 2 - 1)
-    target = jnp.asarray(rng.rand(BATCH, 3, S, S).astype(np.float32) * 2 - 1)
+    driven = jnp.asarray(rng.rand(B, 3, S, S).astype(np.float32) * 2 - 1)
+    target = jnp.asarray(rng.rand(B, 3, S, S).astype(np.float32) * 2 - 1)
 
     def onehot_like(seed):
-        r = np.random.RandomState(seed)
         yy, xx = np.mgrid[0:S, 0:S]
-        lab = np.zeros((BATCH, S, S), np.int32)
+        lab = np.zeros((B, S, S), np.int32)
         rad = np.hypot(yy - S / 2, xx - S / 2)
         lab[:, rad < S * 0.4] = 6
         lab[:, rad < S * 0.12] = 5
         lab[:, (yy < S * 0.3) & (rad < S * 0.48)] = 4
-        oh = np.zeros((BATCH, R, S, S), np.float32)
+        oh = np.zeros((B, R, S, S), np.float32)
         for c in range(R):
             oh[:, c] = lab == c
         return jnp.asarray(oh)
@@ -58,11 +85,9 @@ def _build(backend_devices=None):
     d_oh, t_oh, s_oh = onehot_like(1), onehot_like(2), onehot_like(3)
     latent_avg = jnp.asarray(rng.randn(18, 512).astype(np.float32) * 0.1)
 
-    init_img = driven[:1]
-    init_mask = d_oh[:1]
     variables = jax.jit(
         lambda k: net.init(
-            {"params": k, "noise": k}, init_img, init_mask,
+            {"params": k, "noise": k}, driven[:1], d_oh[:1],
             latent_avg=latent_avg, randomize_noise=False,
         )
     )(jax.random.PRNGKey(0))
@@ -83,25 +108,7 @@ def _build(backend_devices=None):
     return core, args
 
 
-def _sync(x):
-    """Force completion + host readback of a scalar derived from x.
-
-    NOTE: jax.block_until_ready does NOT synchronize on the axon TPU backend
-    (remote execution); a host transfer is the only reliable barrier.
-    """
-    import jax.numpy as jnp
-
-    return float(jnp.mean(x))
-
-
 def _time_core(core, args, iters):
-    """Returns (seconds/iter throughput, seconds p50 single-call latency).
-
-    Throughput: independent back-to-back dispatches with one final sync —
-    executions serialise on the single chip while dispatch overlaps, so
-    total/iters is the true device time per swap. Latency: per-call host
-    sync (includes the dispatch round trip).
-    """
     out = core(*args)
     _sync(out)  # compile + warmup
     t0 = time.perf_counter()
@@ -118,14 +125,127 @@ def _time_core(core, args, iters):
     return per_iter, float(np.median(lat))
 
 
+# ------------------------------- end-to-end --------------------------------
+
+
+def _swap_opts():
+    return types.SimpleNamespace(
+        num_seg_cls=12, out_size=OUT_SIZE, remaining_layer_idx=13,
+        n_styles=18, start_from_latent_avg=True, learn_in_w=False,
+        bf16=BF16, lap_bld=False, checkpoint_path=None,
+    )
+
+
+def _load_example_pair():
+    from PIL import Image
+
+    def load(name):
+        p = os.path.join(EXAMPLE_DIR, name)
+        img = Image.open(p).convert("RGB").resize((OUT_SIZE, OUT_SIZE))
+        return np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))[None]
+
+    return load("source.jpg"), load("target.jpg")
+
+
+def _bench_e2e(iters):
+    """End-to-end swaps/sec on the example pair (BASELINE config #1)."""
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    swapper = FaceSwapper(_swap_opts())
+    S01, T01 = _load_example_pair()
+    swapper.swap_from_arrays(S01, T01)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        swapper.swap_from_arrays(S01, T01)
+    per_iter = (time.perf_counter() - t0) / iters
+
+    lat = []
+    for _ in range(min(iters, 5)):
+        t0 = time.perf_counter()
+        swapper.swap_from_arrays(S01, T01)
+        lat.append(time.perf_counter() - t0)
+    return swapper, 1.0 / per_iter, float(np.median(lat))
+
+
+def _bench_batch64(swapper):
+    """Batched 64-image throughput in device-sized chunks (config #5)."""
+    chunk = int(os.environ.get("BENCH_BATCH_CHUNK", "8"))
+    n = 64
+    rng = np.random.RandomState(0)
+    src = rng.rand(n, 3, OUT_SIZE, OUT_SIZE).astype(np.float32)
+    tgt = rng.rand(n, 3, OUT_SIZE, OUT_SIZE).astype(np.float32)
+    # warmup: compile the batch-`chunk` core + stitch once
+    swapper.swap_batch(src[:chunk], tgt[:chunk])
+    t0 = time.perf_counter()
+    for i in range(0, n, chunk):
+        swapper.swap_batch(src[i : i + chunk], tgt[i : i + chunk])
+    dt = time.perf_counter() - t0
+    return n / dt, chunk
+
+
+def _bench_inversion(steps):
+    """Scanned 200-step latent refinement, iters/sec (config #4)."""
+    from e4s_tpu.pipelines.optimization import Optimizer
+
+    opts = types.SimpleNamespace(
+        num_seg_cls=12, out_size=OUT_SIZE, remaining_layer_idx=13,
+        n_styles=18, start_from_latent_avg=True, learn_in_w=False,
+        checkpoint_path=None, dataset_root="/nonexistent", ds_frac=1.0,
+        lpips_lambda=0.8, id_lambda=0.1, id_loss_multiscale=True,
+        face_parsing_lambda=0.1, l2_lambda=1.0,
+        opt_name="adam", lr=1e-2, W_steps=steps, save_interval=10**9,
+        output_dir="/tmp/e4s_tpu_bench_optim", bf16=False,
+    )
+    optimizer = Optimizer(opts)
+    import jax.numpy as jnp
+
+    from e4s_tpu.datasets.dataset import label_map_to_onehot
+    from e4s_tpu.models.net3 import Net3
+
+    img_np, label_np, _ = optimizer.test_ds[0]
+    img = jnp.asarray(img_np[None])
+    onehot = jnp.asarray(label_map_to_onehot(label_np[None], 12))
+    sv_init, _ = optimizer.net.apply(
+        optimizer.variables, img, onehot, method=Net3.get_style_vectors
+    )
+
+    def run():
+        sv, recon, losses, _ = optimizer._scan_refine(
+            optimizer.variables, optimizer.latent_avg, optimizer.loss_vars,
+            sv_init, img, onehot, n_steps=steps, save_every=10**9,
+        )
+        return _sync(losses)
+
+    try:
+        run()  # compile + warmup
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+    except Exception:  # remote-compiler size limit -> per-step dispatch
+        t0 = time.perf_counter()
+        optimizer._refine_host_loop(sv_init, img, onehot, steps)
+        dt = time.perf_counter() - t0
+    return steps / dt
+
+
+# ------------------------------ CPU baseline -------------------------------
+
+
 def _cpu_baseline():
-    """Swaps/sec of the same core on the CPU backend (cached)."""
-    if os.path.exists(CPU_BASELINE_CACHE):
+    """End-to-end + core swaps/sec of the same pipeline on the CPU backend.
+
+    Cached (and committed) because a single CPU run takes minutes; the cache
+    records the measurement host. Set BENCH_REDO_CPU_BASELINE=1 to refresh.
+    """
+    if (
+        os.path.exists(CPU_BASELINE_CACHE)
+        and not os.environ.get("BENCH_REDO_CPU_BASELINE")
+    ):
         try:
             with open(CPU_BASELINE_CACHE) as f:
                 d = json.load(f)
-            if d.get("out_size") == OUT_SIZE and d.get("batch") == BATCH:
-                return d["swaps_per_sec"]
+            if d.get("out_size") == OUT_SIZE:
+                return d
         except Exception:
             pass
     if os.environ.get("BENCH_SKIP_CPU_BASELINE"):
@@ -137,14 +257,21 @@ def _cpu_baseline():
     except RuntimeError:
         return None
     with jax.default_device(cpu[0]):
-        core, args = _build()
-        med, _ = _time_core(core, args, iters=2)
-    sps = BATCH / med
+        core, args = _build_core(batch=1)
+        core_s, _ = _time_core(core, args, iters=1)
+        _, e2e_sps, _ = _bench_e2e(iters=1)
+    d = {
+        "out_size": OUT_SIZE,
+        "swaps_per_sec": 1.0 / core_s,
+        "e2e_swaps_per_sec": e2e_sps,
+        "bf16": BF16,
+    }
     with open(CPU_BASELINE_CACHE, "w") as f:
-        json.dump(
-            {"out_size": OUT_SIZE, "batch": BATCH, "swaps_per_sec": sps}, f
-        )
-    return sps
+        json.dump(d, f)
+    return d
+
+
+# ---------------------------------- main ------------------------------------
 
 
 def main():
@@ -154,30 +281,74 @@ def main():
 
     enable_compile_cache()
 
-    core, args = _build()
-    med, p50_latency = _time_core(core, args, ITERS)
-    swaps_per_sec = BATCH / med
+    core, args = _build_core()
+    core_s, core_p50 = _time_core(core, args, ITERS)
+    core_sps = BATCH / core_s
+    del core, args
 
-    cpu_sps = None
+    if FAST:
+        result = {
+            "metric": "1024px_swap_core_per_sec_per_chip",
+            "value": round(core_sps, 4),
+            "unit": "swaps/s",
+            "vs_baseline": None,
+            "p50_latency_ms": round(core_p50 * 1000, 2),
+            "out_size": OUT_SIZE,
+            "backend": jax.default_backend(),
+            "bf16": BF16,
+        }
+        print(json.dumps(result))
+        return
+
+    swapper, e2e_sps, e2e_p50 = _bench_e2e(ITERS)
+
+    batch64_sps = batch_chunk = None
+    if RUN_BATCH64:
+        try:
+            batch64_sps, batch_chunk = _bench_batch64(swapper)
+        except Exception as e:
+            print(f"[bench] batch64 failed: {type(e).__name__}: {e}")
+    del swapper
+
+    inv_ips = None
     try:
-        cpu_sps = _cpu_baseline()
-    except Exception:
-        cpu_sps = None
+        inv_ips = _bench_inversion(INVERSION_STEPS)
+    except Exception as e:
+        print(f"[bench] inversion failed: {type(e).__name__}: {e}")
 
-    vs_baseline = (
-        swaps_per_sec / (5.0 * cpu_sps) if cpu_sps else None
-    )
+    cpu = None
+    try:
+        cpu = _cpu_baseline()
+    except Exception as e:
+        print(f"[bench] cpu baseline failed: {type(e).__name__}: {e}")
+
+    cpu_e2e = cpu.get("e2e_swaps_per_sec") if cpu else None
+    vs_baseline = e2e_sps / (5.0 * cpu_e2e) if cpu_e2e else None
     result = {
-        "metric": "1024px_swaps_per_sec_per_chip",
-        "value": round(swaps_per_sec, 4),
+        "metric": "e2e_1024px_swaps_per_sec_per_chip",
+        "value": round(e2e_sps, 4),
         "unit": "swaps/s",
         "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
-        "p50_latency_ms": round(p50_latency * 1000, 2),
-        "batch": BATCH,
+        "p50_latency_ms": round(e2e_p50 * 1000, 2),
+        "core_swaps_per_sec": round(core_sps, 4),
+        "core_p50_latency_ms": round(core_p50 * 1000, 2),
+        "inversion_iters_per_sec": round(inv_ips, 2) if inv_ips else None,
+        "batch64_swaps_per_sec": (
+            round(batch64_sps, 4) if batch64_sps else None
+        ),
+        "batch_chunk": batch_chunk,
         "out_size": OUT_SIZE,
         "backend": jax.default_backend(),
         "bf16": BF16,
-        "cpu_baseline_swaps_per_sec": round(cpu_sps, 5) if cpu_sps else None,
+        "cpu_baseline_e2e_swaps_per_sec": (
+            round(cpu_e2e, 5) if cpu_e2e else None
+        ),
+        "baseline_note": (
+            "vs_baseline = e2e_tpu / (5 * e2e_cpu_jax); the PyTorch "
+            "reference cannot run in this image (CUDA-only native ops), so "
+            "the CPU number is this same JAX pipeline on the host CPU "
+            "backend, cached in .bench_cpu_baseline.json"
+        ),
     }
     print(json.dumps(result))
 

@@ -248,7 +248,14 @@ class SyntheticFaceDataset:
 
 
 class DataLoader:
-    """Minimal shuffling batch loader with background prefetch."""
+    """Minimal shuffling batch loader with background prefetch.
+
+    ``num_shards``/``shard_index`` give each process a disjoint slice of
+    every (synchronised-seed) shuffled epoch — the torch DistributedSampler
+    equivalent (ref: src/training/coach.py:171-177): the index list is
+    padded by wrapping to a multiple of num_shards, then strided, so all
+    processes see the same number of batches per epoch.
+    """
 
     def __init__(
         self,
@@ -259,6 +266,8 @@ class DataLoader:
         seed: int = 0,
         num_prefetch: int = 2,
         num_seg_cls: int = 12,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -267,11 +276,18 @@ class DataLoader:
         self.seed = seed
         self.num_prefetch = num_prefetch
         self.num_seg_cls = num_seg_cls
+        assert 0 <= shard_index < num_shards
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.epoch = 0
 
+    def _shard_len(self):
+        n = len(self.dataset)
+        return -(-n // self.num_shards)  # ceil: padded by wrapping
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._shard_len() // self.batch_size
+        if not self.drop_last and self._shard_len() % self.batch_size:
             n += 1
         return n
 
@@ -293,7 +309,14 @@ class DataLoader:
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
+            # seed depends only on (seed, epoch), NOT the shard: every
+            # process draws the same permutation, then takes its stride
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        if self.num_shards > 1:
+            pad = self._shard_len() * self.num_shards - len(order)
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+            order = order[self.shard_index :: self.num_shards]
         self.epoch += 1
 
         batches = [

@@ -36,6 +36,9 @@ class OptimOptions:
         p.add_argument('--opt_name', type=str, default='adam',
                        help='sgd | adam | sgdm | adamax')
         p.add_argument('--W_steps', type=int, default=200)
+        # jointly optimize the generator's per-layer noise maps with the
+        # style vector (ref: scripts/optimization.py:146-159 noise_init path)
+        p.add_argument('--optimize_noise', action='store_true')
         p.add_argument('--save_intermediate', action='store_true')
         p.add_argument('--verbose', action='store_true')
         p.add_argument('--save_interval', type=int, default=50)

@@ -38,6 +38,13 @@ class SwapFacePipelineOptions:
         p.add_argument('--source', type=str, default="example/input/faceswap/source.jpg")
         p.add_argument('--target', type=str, default="example/input/faceswap/target.jpg")
         p.add_argument('--target_mask', type=str, default="")
+        # dlib crop+align of source/target before swapping (the reference
+        # pipeline's optional first stage, ref face_swap.py:173-192)
+        p.add_argument('--need_crop', action='store_true')
+        p.add_argument('--only_target_crop', action='store_true')
+        # precomputed 68-pt landmarks (.npz with arrays in file order:
+        # source, target) — lets the crop path run without dlib
+        p.add_argument('--landmarks_npz', type=str, default="")
         p.add_argument('--verbose', default=False, type=lambda x: str(x).lower() == 'true')
         p.add_argument('--output_dir', type=str, default="example/output/faceswap")
 

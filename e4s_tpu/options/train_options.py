@@ -15,6 +15,13 @@ class TrainOptions:
     def initialize(self):
         p = self.parser
         p.add_argument('--exp_dir', type=str, default="running_exp")
+        # multi-host data parallelism (jax.distributed; the reference's
+        # torch.distributed.launch equivalent). With no coordinator args,
+        # JAX auto-detects the cluster (TPU pod metadata / SLURM).
+        p.add_argument('--distributed', action='store_true')
+        p.add_argument('--coordinator_address', type=str, default='')
+        p.add_argument('--num_processes', type=int, default=0)
+        p.add_argument('--process_id', type=int, default=-1)
         p.add_argument('--num_seg_cls', type=int, default=12)
         # ================= Model =====================
         p.add_argument('--out_size', type=int, default=1024)

@@ -48,6 +48,43 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Place a host batch pytree with axis-0 sharded over `data`."""
+    """Place a host batch pytree with axis-0 sharded over `data`.
+
+    Single-process: a plain device_put of the full batch. Multi-process
+    (pod slice / multi-host): each process holds only ITS shard of the
+    global batch (the loader's DistributedSampler-equivalent slice, see
+    datasets.DataLoader num_shards/shard_index), and the global array is
+    assembled from the process-local data without any cross-host transfer.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), tree
+    )
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (the NCCL init_process_group equivalent,
+    ref: src/training/coach.py:37-58). Call once per process before any
+    other JAX API; no-ops on single-process/already-initialised runs.
+
+    With no arguments JAX auto-detects the cluster from the environment
+    (TPU pod metadata / SLURM / coordinator env vars).
+    """
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialised
+        if "already" not in str(e).lower():
+            raise

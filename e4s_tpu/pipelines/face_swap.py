@@ -76,8 +76,13 @@ class FaceSwapper:
         need_crop: bool = False,
         verbose: bool = False,
         only_target_crop: bool = False,
+        landmarks: Optional[list] = None,
     ):
-        """ref: scripts/face_swap.py:149-331. Returns the pasted PIL image."""
+        """ref: scripts/face_swap.py:149-331. Returns the pasted PIL image.
+
+        ``landmarks``: optional precomputed 68-point landmarks (one array per
+        cropped image, in file order) — bypasses dlib detection for the
+        need_crop path."""
         from PIL import Image
 
         opts = self.opts
@@ -94,7 +99,9 @@ class FaceSwapper:
 
             files = [(os.path.basename(f).split(".")[0], f) for f in (source, target)]
             sel = files[1:] if only_target_crop else files
-            crops, orig_images, quads, inv_transforms = crop_and_align_face(sel)
+            crops, orig_images, quads, inv_transforms = crop_and_align_face(
+                sel, image_size=self.opts.out_size, landmarks=landmarks
+            )
             crops = [c.convert("RGB") for c in crops]
             if only_target_crop:
                 T01 = np.transpose(np.asarray(crops[0], np.float32) / 255.0, (2, 0, 1))[None]
@@ -105,6 +112,47 @@ class FaceSwapper:
         else:
             S01 = self._load_1024(source)
             T01 = self._load_1024(target)
+
+        result = self.swap_from_arrays(
+            S01, T01, target_mask=target_mask, save_dir=save_dir,
+            verbose=verbose,
+        )
+
+        # restore into the original frame if cropped
+        if (only_target_crop or need_crop) and inv_transforms is not None:
+            idx = 0 if only_target_crop else 1
+            coeffs, orig_image = inv_transforms[idx], orig_images[idx]
+            swapped_rgba = result.convert("RGBA")
+            swapped_rgba.putalpha(255)
+            projected = swapped_rgba.transform(
+                orig_image.size, Image.PERSPECTIVE, coeffs, Image.BILINEAR
+            )
+            pasted_image = orig_image.convert("RGBA")
+            pasted_image.alpha_composite(projected)
+            result = pasted_image
+
+        if save_dir:
+            result.save(os.path.join(save_dir, result_name))
+        return result
+
+    def swap_from_arrays(
+        self,
+        S01: np.ndarray,
+        T01: np.ndarray,
+        target_mask: Optional[np.ndarray] = None,
+        save_dir: Optional[str] = None,
+        verbose: bool = False,
+    ):
+        """Stages (2)-(6) of the swap on pre-loaded [1,3,S,S] arrays in [0,1].
+
+        This is the full on-device pipeline (re-enact/restore, BiSeNet parse
+        x2, host mask swap, jitted swap core, stitch) without file I/O or
+        crop/inverse-paste — the unit the end-to-end benchmark times.
+        Returns the 1024^2 result as a PIL image.
+        """
+        from PIL import Image
+
+        opts = self.opts
 
         # (2) re-enact S with T's pose, then restore
         if self.reenactor is not None:
@@ -186,22 +234,6 @@ class FaceSwapper:
                 outer_dilation=outer_dilation,
             )
             result = tensor2im(np.asarray(stitched[0]))
-
-        # restore into the original frame if cropped
-        if (only_target_crop or need_crop) and inv_transforms is not None:
-            idx = 0 if only_target_crop else 1
-            coeffs, orig_image = inv_transforms[idx], orig_images[idx]
-            swapped_rgba = result.convert("RGBA")
-            swapped_rgba.putalpha(255)
-            projected = swapped_rgba.transform(
-                orig_image.size, Image.PERSPECTIVE, coeffs, Image.BILINEAR
-            )
-            pasted_image = orig_image.convert("RGBA")
-            pasted_image.alpha_composite(projected)
-            result = pasted_image
-
-        if save_dir:
-            result.save(os.path.join(save_dir, result_name))
         return result
 
 

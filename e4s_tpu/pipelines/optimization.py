@@ -121,7 +121,8 @@ class Optimizer:
         aux["loss"] = loss
         return loss, aux
 
-    def _gen_from_sv_fn(self, variables, latent_avg, style_vectors, onehot):
+    def _gen_from_sv_fn(self, variables, latent_avg, style_vectors, onehot,
+                        noise=None):
         codes = self.net.apply(
             variables, style_vectors, latent_avg, method=Net3.cal_style_codes
         )
@@ -129,65 +130,99 @@ class Optimizer:
         img, _, _ = self.net.apply(
             variables, struc, codes, onehot,
             method=Net3.gen_img, randomize_noise=False,
+            noise=list(noise) if noise is not None else None,
         )
         return img
+
+    def _noise_init(self):
+        """The generator's registered per-layer noise buffers, as optimisable
+        leaves (ref: scripts/optimization.py:146-159 optionally extends the
+        optimizer's param list with per-layer noise maps)."""
+        g_noises = self.variables.get("noises", {}).get("G", {})
+        keys = sorted(g_noises, key=lambda s: int(s.rsplit("_", 1)[1]))
+        return tuple(jnp.asarray(g_noises[k]) for k in keys)
 
     def _gen_from_sv(self, style_vectors, onehot):
         return self._gen_from_sv_fn(
             self.variables, self.latent_avg, style_vectors, onehot
         )
 
-    def _one_step(self, variables, latent_avg, loss_vars, sv, opt_state, img, onehot):
-        def loss_fn(v):
-            recon = self._gen_from_sv_fn(variables, latent_avg, v, onehot)
+    def _one_step(self, variables, latent_avg, loss_vars, theta, opt_state, img, onehot):
+        def loss_fn(t):
+            recon = self._gen_from_sv_fn(
+                variables, latent_avg, t["sv"], onehot, noise=t.get("noise")
+            )
             loss, aux = self._calc_loss_fn(loss_vars, img, recon)
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(sv)
-        updates, opt_state = self.tx.update(grads, opt_state, sv)
-        sv = optax.apply_updates(sv, updates)
-        return sv, opt_state, aux["loss"]
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta)
+        updates, opt_state = self.tx.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, aux["loss"]
 
-    def _refine_host_loop(self, sv_init, img, onehot, n_steps: int):
+    def _refine_host_loop(self, sv_init, img, onehot, n_steps: int,
+                          noise_init=None):
         """Fallback when the scanned program exceeds the remote compiler's
         size limit: same math, one jitted step dispatched per iteration."""
-        import numpy as _np
-
-        opt_state = self.tx.init(sv_init)
-        sv = sv_init
+        with_noise = noise_init is not None
+        theta = {"sv": sv_init}
+        if with_noise:
+            theta["noise"] = tuple(noise_init)
+        opt_state = self.tx.init(theta)
         losses = []
         for _ in range(n_steps):
-            sv, opt_state, loss = self._jit_step(
+            theta, opt_state, loss = self._jit_step(
                 self.variables, self.latent_avg, self.loss_vars,
-                sv, opt_state, img, onehot,
+                theta, opt_state, img, onehot,
             )
             losses.append(loss)
-        recon = self._gen_from_sv(sv, onehot)
+        sv = theta["sv"]
+        recon = self._gen_from_sv_fn(
+            self.variables, self.latent_avg, sv, onehot,
+            noise=theta.get("noise"),
+        )
         trace = jnp.broadcast_to(sv[None], (n_steps,) + sv.shape)
+        if with_noise:
+            return sv, recon, jnp.stack(losses), trace, theta["noise"]
         return sv, recon, jnp.stack(losses), trace
 
     def _refine(self, variables, latent_avg, loss_vars, sv_init, img, onehot,
-                n_steps: int, save_every: int):
+                n_steps: int, save_every: int, noise_init=None):
+        """Scanned refinement of the style vector, optionally jointly with the
+        per-layer noise maps (pytree leaves alongside sv, like the reference
+        extending the torch param list)."""
         tx = self.tx
+        with_noise = noise_init is not None
+        theta0 = {"sv": sv_init}
+        if with_noise:
+            theta0["noise"] = tuple(noise_init)
 
-        def loss_fn(sv):
-            recon = self._gen_from_sv_fn(variables, latent_avg, sv, onehot)
+        def loss_fn(theta):
+            recon = self._gen_from_sv_fn(
+                variables, latent_avg, theta["sv"], onehot,
+                noise=theta.get("noise"),
+            )
             loss, aux = self._calc_loss_fn(loss_vars, img, recon)
             return loss, aux
 
         def step(carry, _):
-            sv, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(sv)
-            updates, opt_state = tx.update(grads, opt_state, sv)
-            sv = optax.apply_updates(sv, updates)
-            return (sv, opt_state), (aux["loss"], sv)
+            theta, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta)
+            updates, opt_state = tx.update(grads, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), (aux["loss"], theta["sv"])
 
-        opt_state = tx.init(sv_init)
-        (sv, _), (losses, sv_trace) = jax.lax.scan(
-            step, (sv_init, opt_state), None, length=n_steps
+        opt_state = tx.init(theta0)
+        (theta, _), (losses, sv_trace) = jax.lax.scan(
+            step, (theta0, opt_state), None, length=n_steps
         )
-        recon = self._gen_from_sv_fn(variables, latent_avg, sv, onehot)
-        return sv, recon, losses, sv_trace
+        recon = self._gen_from_sv_fn(
+            variables, latent_avg, theta["sv"], onehot,
+            noise=theta.get("noise"),
+        )
+        if with_noise:
+            return theta["sv"], recon, losses, sv_trace, theta["noise"]
+        return theta["sv"], recon, losses, sv_trace
 
     def invertion(self, sample_idx: int, save: bool = True):
         """ref: scripts/optimization.py:163-241"""
@@ -205,18 +240,29 @@ class Optimizer:
         )
         recon0 = self._gen_from_sv(sv_init, onehot)
 
+        noise_init = (
+            self._noise_init()
+            if getattr(opts, "optimize_noise", False)
+            else None
+        )
+        noise_opt = None
         try:
-            sv, recon, losses, sv_trace = self._scan_refine(
+            out = self._scan_refine(
                 self.variables, self.latent_avg, self.loss_vars,
                 sv_init, img, onehot,
                 n_steps=opts.W_steps, save_every=opts.save_interval,
+                noise_init=noise_init,
             )
         except Exception as e:  # e.g. remote-compiler size limit
             print(f"[e4s_tpu] scanned refinement unavailable ({type(e).__name__}); "
                   "falling back to per-step dispatch")
-            sv, recon, losses, sv_trace = self._refine_host_loop(
-                sv_init, img, onehot, opts.W_steps
+            out = self._refine_host_loop(
+                sv_init, img, onehot, opts.W_steps, noise_init=noise_init
             )
+        if noise_init is not None:
+            sv, recon, losses, sv_trace, noise_opt = out
+        else:
+            sv, recon, losses, sv_trace = out
 
         if save:
             name = f"sample_{sample_idx}"
@@ -247,4 +293,11 @@ class Optimizer:
                 os.path.join(folder, f"{name}_{opts.W_steps:04d}.npy"),
                 np.asarray(sv),
             )
+            if noise_opt is not None:
+                # optimized per-layer noise maps
+                # (ref: optimization.py:249-252 save_stats["noise"])
+                np.savez(
+                    os.path.join(folder, f"{name}_{opts.W_steps:04d}_noise.npz"),
+                    *[np.asarray(n) for n in noise_opt],
+                )
         return sv, recon, np.asarray(losses)

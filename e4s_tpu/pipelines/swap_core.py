@@ -39,8 +39,10 @@ def swap_style_vectors_device(
     sv = target_sv
     idx = jnp.asarray(comp_indices)
     sv = sv.at[:, idx, :].set(driven_sv[:, idx, :])
-    # ear(7): if source ear style is all-zero (region absent) -> average
-    ear_absent = jnp.sum(jnp.abs(driven_sv[:, 7, :])) == 0
+    # ear(7): if source ear style is all-zero (region absent) -> average.
+    # Signed sum (not |.|) to match the reference exactly
+    # (ref: face_swap.py:132) and the host util swap_comp_style_vector.
+    ear_absent = jnp.sum(driven_sv[:, 7, :]) == 0
     sv = sv.at[:, 7, :].set(
         jnp.where(
             ear_absent,
@@ -48,8 +50,8 @@ def swap_style_vectors_device(
             sv[:, 7, :],
         )
     )
-    # teeth(9): if absent in source -> keep target
-    teeth_absent = jnp.sum(jnp.abs(driven_sv[:, 9, :])) == 0
+    # teeth(9): if absent in source -> keep target (ref: face_swap.py:136)
+    teeth_absent = jnp.sum(driven_sv[:, 9, :]) == 0
     sv = sv.at[:, 9, :].set(
         jnp.where(teeth_absent, target_sv[:, 9, :], sv[:, 9, :])
     )

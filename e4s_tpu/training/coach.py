@@ -111,6 +111,16 @@ class Coach:
         self.mesh = make_mesh(getattr(opts, "n_devices", None) or None)
         self.n_data = self.mesh.devices.shape[0]
         self.global_batch = opts.batch_size * self.n_data
+        # multi-host: this process loads 1/n_procs of every global batch
+        # (DistributedSampler-equivalent, ref coach.py:171-177) and owns the
+        # corresponding device shards; single-host: the full batch.
+        self.n_procs = jax.process_count()
+        self.proc_idx = jax.process_index()
+        assert self.global_batch % self.n_procs == 0, (
+            f"global batch {self.global_batch} must divide over "
+            f"{self.n_procs} processes"
+        )
+        self.local_batch = self.global_batch // self.n_procs
 
         self.net = Net3(
             num_seg_cls=opts.num_seg_cls,
@@ -448,18 +458,22 @@ class Coach:
             )
         train_loader = DataLoader(
             train_ds,
-            self.global_batch,
+            self.local_batch,
             shuffle=True,
             drop_last=True,
             seed=opts.seed,
             num_seg_cls=opts.num_seg_cls,
+            num_shards=self.n_procs,
+            shard_index=self.proc_idx,
         )
         test_loader = DataLoader(
             test_ds,
-            self.global_batch,
+            self.local_batch,
             shuffle=False,
             drop_last=True,
             num_seg_cls=opts.num_seg_cls,
+            num_shards=self.n_procs,
+            shard_index=self.proc_idx,
         )
         return train_loader, test_loader
 
@@ -593,6 +607,8 @@ class Coach:
     # ------------------------------------------------------------------
 
     def _log_metrics(self, metrics: Dict[str, float], prefix: str):
+        if self.proc_idx != 0:  # rank-0 logging (ref coach.py:360-387)
+            return
         record = {"step": self.global_step, "prefix": prefix, **metrics}
         with open(self.log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -606,6 +622,8 @@ class Coach:
 
     def log_images(self, name: str, onehot, img, recon, display_count: int = 2):
         """Matplotlib face grids (ref: coach.py:465-491)."""
+        if self.proc_idx != 0:
+            return
         from e4s_tpu.utils.img_utils import tensor2im, tensor2map, vis_faces
 
         img, onehot, recon = map(np.asarray, (img, onehot, recon))
@@ -628,6 +646,10 @@ class Coach:
         plt.close(fig)
 
     def checkpoint_me(self, loss_dict, is_best: bool):
+        if self.proc_idx != 0:
+            # state is fully replicated (NamedSharding(P())): every shard is
+            # host-addressable from process 0, so a rank-0 save is complete
+            return
         import orbax.checkpoint as ocp
 
         name = "best_model" if is_best else f"iteration_{self.global_step}"
@@ -639,9 +661,26 @@ class Coach:
             "noises": jax.device_get(self.state.noises),
             "latent_avg": jax.device_get(self.state.latent_avg),
             "step": self.global_step,
+            # optimizer moments + best-val tracking make resume truly
+            # preemption-safe (the torch reference drops these,
+            # ref coach.py:505-517 — "beat", not "match"). Stored as the
+            # FLAT LEAF LIST: optax states are NamedTuples whose field order
+            # need not be alphabetical, so a dict round-trip through orbax
+            # could permute leaves; a list preserves order exactly.
+            "opt_state": jax.device_get(
+                jax.tree_util.tree_leaves(self.state.opt_state)
+            ),
+            "best_val_loss": (
+                float(self.best_val_loss)
+                if self.best_val_loss is not None
+                else None
+            ),
         }
         if self.state.params_d is not None:
             payload["params_d"] = jax.device_get(self.state.params_d)
+            payload["opt_state_d"] = jax.device_get(
+                jax.tree_util.tree_leaves(self.state.opt_state_d)
+            )
         ckpter.save(path, payload, force=True)
         with open(os.path.join(self.checkpoint_dir, "timestamp.txt"), "a") as f:
             tag = "**Best**: " if is_best else ""
@@ -652,13 +691,45 @@ class Coach:
 
         ckpter = ocp.PyTreeCheckpointer()
         payload = ckpter.restore(os.path.abspath(path))
-        self.state = dataclasses.replace(
-            self.state,
+        replace = dict(
             params=payload["params"],
             ema_params=payload["ema_params"],
             noises=payload.get("noises", self.state.noises),
             latent_avg=jnp.asarray(payload["latent_avg"]),
             params_d=payload.get("params_d", self.state.params_d),
         )
+        # Optimizer moments (saved since r2; older checkpoints restart them).
+        # orbax returns optax NamedTuple states as raw dict/list trees; graft
+        # the leaves back onto the structure of a freshly-initialised state.
+        if payload.get("opt_state") is not None:
+            replace["opt_state"] = self._graft_opt_state(
+                self.tx.init(payload["params"]), payload["opt_state"]
+            )
+        if (
+            payload.get("opt_state_d") is not None
+            and self.state.opt_state_d is not None
+        ):
+            replace["opt_state_d"] = self._graft_opt_state(
+                self.tx_d.init(replace["params_d"]), payload["opt_state_d"]
+            )
+        if payload.get("best_val_loss") is not None:
+            self.best_val_loss = float(payload["best_val_loss"])
+        self.state = dataclasses.replace(self.state, **replace)
         self.state = replicate(self.state, self.mesh)
         self.global_step = int(payload.get("step", 0)) + 1
+
+    @staticmethod
+    def _graft_opt_state(template, raw):
+        """Rebuild an optax state from its checkpointed flat leaf list."""
+        leaves = jax.tree_util.tree_leaves(raw)
+        tmpl_leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(leaves) != len(tmpl_leaves) or any(
+            np.shape(a) != np.shape(b) for a, b in zip(leaves, tmpl_leaves)
+        ):
+            raise ValueError(
+                "checkpointed optimizer state does not match the configured "
+                "optimizer; pass a matching --optim_name to resume moments"
+            )
+        return jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in leaves]
+        )

@@ -232,7 +232,8 @@ def convert_net3_state_dict(sd, num_seg_cls=12):
 
     The caller handles the checkpoint dict wrapper (state_dict / latent_avg).
     """
-    sd = remove_module_prefix(sd)
+    if any(k.startswith("module.") for k in sd):
+        sd = remove_module_prefix(sd)
     params: Dict = {}
     params["encoder"] = convert_fsencoder(sd, prefix="encoder")
     params.update(convert_local_mlps(sd, num_seg_cls))

@@ -39,13 +39,20 @@ def main():
         print(f"[e4s_tpu] re-enactment/restoration unavailable ({e}); "
               "falling back to direct source texture")
 
+    landmarks = None
+    if getattr(opts, "landmarks_npz", ""):
+        with np.load(opts.landmarks_npz) as z:
+            landmarks = [z[k] for k in z.files]
+
     swapper = FaceSwapper(opts, reenactor=reenactor, restorer=restorer)
     swapper.swap(
         opts.source,
         opts.target,
         save_dir=opts.output_dir,
         target_mask=target_mask_seg12,
-        need_crop=False,
+        need_crop=getattr(opts, "need_crop", False),
+        only_target_crop=getattr(opts, "only_target_crop", False),
+        landmarks=landmarks,
         verbose=opts.verbose,
     )
     print(f"Saved swap result to {opts.output_dir}")

@@ -134,3 +134,117 @@ def test_face_swap_bf16(tmp_path):
     swapper = FaceSwapper(opts, parser=FakeParser())
     result = swapper.swap(src, tgt, save_dir=str(tmp_path / "out"))
     assert result.size == (64, 64)
+
+
+def test_swap_style_vectors_device_matches_host():
+    """Device (jnp) and host (numpy) texture-swap fallbacks must agree,
+    including on signed style vectors whose ear/teeth rows sum to zero
+    (ref semantics: sum(sv)==0 means "region absent", face_swap.py:132,136).
+    """
+    import jax
+
+    from e4s_tpu.pipelines.swap_core import (
+        SWAP_COMP_INDICES,
+        swap_style_vectors_device,
+    )
+    from e4s_tpu.utils.swap_mask import swap_comp_style_vector
+
+    rng = np.random.RandomState(0)
+    for case in ("generic", "zero_rows", "signed_cancel"):
+        tgt = rng.randn(1, 12, 16).astype(np.float32)
+        src = rng.randn(1, 12, 16).astype(np.float32)
+        if case == "zero_rows":
+            src[:, 7, :] = 0.0
+            src[:, 9, :] = 0.0
+        elif case == "signed_cancel":
+            # nonzero vectors that SUM to zero: the ref treats these as
+            # "absent" too; both paths must agree on that quirk
+            src[:, 7, :] = 1.0
+            src[:, 7, 8:] = -1.0
+            src[:, 9, :] = 2.0
+            src[:, 9, 8:] = -2.0
+        host = swap_comp_style_vector(tgt, src, list(SWAP_COMP_INDICES))
+        dev = np.asarray(
+            jax.jit(swap_style_vectors_device)(
+                jnp.asarray(tgt), jnp.asarray(src)
+            )
+        )
+        np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6,
+                                   err_msg=case)
+
+
+def test_optimization_noise_refinement(tmp_path):
+    """--optimize_noise equivalent: noise leaves get nonzero gradients and
+    joint (style+noise) refinement reaches a lower loss than style-only on
+    the same seed/sample (ref: scripts/optimization.py:146-159)."""
+    import jax
+
+    from e4s_tpu.datasets.dataset import SyntheticFaceDataset, label_map_to_onehot
+    from e4s_tpu.pipelines.optimization import Optimizer
+
+    def make_opts(optimize_noise):
+        return types.SimpleNamespace(
+            num_seg_cls=12, out_size=64, remaining_layer_idx=7, n_styles=10,
+            start_from_latent_avg=True, learn_in_w=False, train_G=False,
+            checkpoint_path=None, output_dir=str(tmp_path), opt_name="adam",
+            lr=1e-2, W_steps=8, save_interval=100, save_intermediate=False,
+            verbose=False, id_lambda=0.0, id_loss_multiscale=True,
+            l2_lambda=1.0, lpips_lambda=0.0, face_parsing_lambda=0.0,
+            ds_frac=1.0, optimize_noise=optimize_noise,
+        )
+
+    ds = SyntheticFaceDataset(size=64, num_seg_cls=12, length=4)
+    opt_plain = Optimizer(make_opts(False), dataset=ds)
+    opt_noise = Optimizer(make_opts(True), dataset=ds)
+    # A random-init generator has zero-init NoiseInjection scales (StyleGAN2
+    # convention), making d(loss)/d(noise) identically zero; set them nonzero
+    # like a trained model so the noise path is actually exercised.
+    def bump_noise_weights(tree):
+        def visit(d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    if k == "noise" and "weight" in v:
+                        v["weight"] = np.full_like(v["weight"], 0.1)
+                    else:
+                        visit(v)
+        visit(tree)
+        return tree
+
+    import copy
+
+    params = bump_noise_weights(
+        copy.deepcopy(jax.device_get(opt_plain.variables))
+    )
+    opt_plain.variables = jax.tree_util.tree_map(jnp.asarray, params)
+    # identical weights so the runs differ only in the optimized leaves
+    opt_noise.variables = opt_plain.variables
+    opt_noise.latent_avg = opt_plain.latent_avg
+
+    # noise gradients are nonzero
+    img_np, label_np, _ = ds[1]
+    img = jnp.asarray(img_np[None])
+    onehot = jnp.asarray(label_map_to_onehot(label_np[None], 12))
+    sv_init, _ = opt_noise.net.apply(
+        opt_noise.variables, img, onehot,
+        method=__import__("e4s_tpu.models.net3", fromlist=["Net3"]).Net3.get_style_vectors,
+    )
+    noise_init = opt_noise._noise_init()
+    assert len(noise_init) > 0
+
+    def loss_of(theta):
+        recon = opt_noise._gen_from_sv_fn(
+            opt_noise.variables, opt_noise.latent_avg, theta["sv"], onehot,
+            noise=theta["noise"],
+        )
+        return opt_noise._calc_loss_fn(opt_noise.loss_vars, img, recon)[0]
+
+    grads = jax.grad(loss_of)({"sv": sv_init, "noise": noise_init})
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in grads["noise"])
+    assert total > 0, "noise leaves must receive gradients"
+
+    _, _, losses_plain = opt_plain.invertion(1, save=False)
+    _, _, losses_noise = opt_noise.invertion(1, save=False)
+    assert losses_noise[-1] < losses_plain[-1], (
+        f"joint noise refinement should reach lower loss "
+        f"({losses_noise[-1]} vs {losses_plain[-1]})"
+    )
