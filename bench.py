@@ -63,7 +63,10 @@ def _build_core(batch=None):
     from e4s_tpu.pipelines.swap_core import make_swap_core
 
     B = batch or BATCH
-    net = Net3(out_size=OUT_SIZE, remaining_layer_idx=13, n_styles=18)
+    net = Net3(
+        out_size=OUT_SIZE, remaining_layer_idx=13, n_styles=18,
+        channels_last=os.environ.get("BENCH_CHANNELS_LAST", "1") == "1",
+    )
     S, R = OUT_SIZE, 12
 
     rng = np.random.RandomState(0)

@@ -95,11 +95,15 @@ class FusedLeakyReLU(nn.Module):
     channel: int
     negative_slope: float = 0.2
     scale: float = math.sqrt(2.0)
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         bias = self.param("bias", nn.initializers.zeros, (self.channel,))
-        return fused_leaky_relu(x, bias, self.negative_slope, self.scale)
+        return fused_leaky_relu(
+            x, bias, self.negative_slope, self.scale,
+            channels_last=self.channels_last,
+        )
 
 
 class ConvLayer(nn.Module):

@@ -56,6 +56,8 @@ class Net3(nn.Module):
     start_from_latent_avg: bool = True
     learn_in_w: bool = False
     fast_masked: bool = True
+    # NHWC synthesis internals (checkpoint- and API-compatible either way)
+    channels_last: bool = False
 
     def setup(self):
         self.encoder = FSEncoderPSP(self.num_seg_cls, name="encoder")
@@ -71,6 +73,7 @@ class Net3(nn.Module):
             split_layer_idx=self.split_layer_idx,
             remaining_layer_idx=self.remaining_layer_idx,
             fast_masked=self.fast_masked,
+            channels_last=self.channels_last,
             name="G",
         )
 

@@ -36,8 +36,11 @@ from e4s_tpu.models.layers import (
 from e4s_tpu.ops.modconv import (
     masked_modulated_conv2d,
     masked_modulated_conv2d_naive,
+    masked_modulated_conv2d_nhwc,
     masked_torgb,
+    masked_torgb_nhwc,
     modulated_conv2d,
+    modulated_conv2d_nhwc,
 )
 from e4s_tpu.ops.upfirdn2d import upsample2
 
@@ -74,6 +77,7 @@ class ModulatedConv2d(nn.Module):
     downsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     fast_masked: bool = True
+    channels_last: bool = False
 
     def setup(self):
         self.weight = self.param(
@@ -88,23 +92,37 @@ class ModulatedConv2d(nn.Module):
 
     def __call__(self, x, style, mask=None):
         """style: [B, style_dim] (plain) or [B, R, style_dim] with one-hot
-        ``mask`` [B, R, Hm, Wm] for regional injection."""
+        ``mask`` [B, R, Hm, Wm] for regional injection. ``x`` is NCHW, or
+        NHWC when ``channels_last`` (weights stay OIHW either way)."""
         w_scaled = self.weight * self.scale
         s = self.modulation(style)  # [..., Ci]
         if mask is None:
-            return modulated_conv2d(
+            fn = modulated_conv2d_nhwc if self.channels_last else modulated_conv2d
+            return fn(
                 x, w_scaled, s,
                 demodulate=self.demodulate,
                 up=self.upsample, down=self.downsample,
                 blur_kernel=tuple(self.blur_kernel),
             )
         assert not self.downsample
-        fn = (
-            masked_modulated_conv2d if self.fast_masked
-            else masked_modulated_conv2d_naive
-        )
         if self.kernel_size == 1 and not self.demodulate and not self.upsample:
-            return masked_torgb(x, w_scaled, s, mask)
+            fn = masked_torgb_nhwc if self.channels_last else masked_torgb
+            return fn(x, w_scaled, s, mask)
+        if self.channels_last:
+            if not self.fast_masked:
+                # naive oracle is NCHW-only; bounce layouts (test path)
+                out = masked_modulated_conv2d_naive(
+                    jnp.transpose(x, (0, 3, 1, 2)), w_scaled, s, mask,
+                    demodulate=self.demodulate, up=self.upsample,
+                    blur_kernel=tuple(self.blur_kernel),
+                )
+                return jnp.transpose(out, (0, 2, 3, 1))
+            fn = masked_modulated_conv2d_nhwc
+        else:
+            fn = (
+                masked_modulated_conv2d if self.fast_masked
+                else masked_modulated_conv2d_naive
+            )
         return fn(
             x, w_scaled, s, mask,
             demodulate=self.demodulate, up=self.upsample,
@@ -115,6 +133,8 @@ class ModulatedConv2d(nn.Module):
 class NoiseInjection(nn.Module):
     """ref: src/models/stylegan2/model.py:323-335"""
 
+    channels_last: bool = False
+
     @nn.compact
     def __call__(self, x, noise=None, deterministic=False):
         weight = self.param("weight", nn.initializers.zeros, (1,))
@@ -122,8 +142,21 @@ class NoiseInjection(nn.Module):
             if deterministic:
                 return x
             key = self.make_rng("noise")
-            B, _, H, W = x.shape
-            noise = jax.random.normal(key, (B, 1, H, W), dtype=x.dtype)
+            if self.channels_last:
+                B, H, W, _ = x.shape
+                noise = jax.random.normal(key, (B, H, W, 1), dtype=x.dtype)
+            else:
+                B, _, H, W = x.shape
+                noise = jax.random.normal(key, (B, 1, H, W), dtype=x.dtype)
+        elif self.channels_last and noise.ndim == 4:
+            # caller-supplied noise keeps the public NCHW contract: [B,1,H,W]
+            # (registered buffers) or full-channel [B,C,H,W] (the edit
+            # pipeline's fixed noise, ref: scripts/face_edit.py:49-51)
+            if noise.shape[1] == 1:
+                # singleton channel makes the relayout a pure reshape
+                noise = noise.reshape(noise.shape[0], *noise.shape[2:], 1)
+            else:
+                noise = jnp.transpose(noise, (0, 2, 3, 1))
         return x + weight.astype(x.dtype) * noise.astype(x.dtype)
 
 
@@ -142,16 +175,19 @@ class StyledConv(nn.Module):
     demodulate: bool = True
     mask_op: bool = False
     fast_masked: bool = True
+    channels_last: bool = False
 
     def setup(self):
         self.conv = ModulatedConv2d(
             self.in_channel, self.out_channel, self.kernel_size, self.style_dim,
             demodulate=self.demodulate, upsample=self.upsample,
             blur_kernel=self.blur_kernel, fast_masked=self.fast_masked,
-            name="conv",
+            channels_last=self.channels_last, name="conv",
         )
-        self.noise = NoiseInjection(name="noise")
-        self.activate = FusedLeakyReLU(self.out_channel, name="activate")
+        self.noise = NoiseInjection(channels_last=self.channels_last, name="noise")
+        self.activate = FusedLeakyReLU(
+            self.out_channel, channels_last=self.channels_last, name="activate"
+        )
 
     def __call__(self, x, style, mask, noise=None, deterministic=False):
         out = self.conv(x, style, mask=mask if self.mask_op else None)
@@ -171,19 +207,26 @@ class ToRGB(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     mask_op: bool = False
     fast_masked: bool = True
+    channels_last: bool = False
 
     def setup(self):
         self.conv = ModulatedConv2d(
             self.in_channel, 3, 1, self.style_dim, demodulate=False,
-            fast_masked=self.fast_masked, name="conv",
+            fast_masked=self.fast_masked, channels_last=self.channels_last,
+            name="conv",
         )
         self.bias = self.param("bias", nn.initializers.zeros, (1, 3, 1, 1))
 
     def __call__(self, x, style, mask, skip=None):
         out = self.conv(x, style, mask=mask if self.mask_op else None)
-        out = out + self.bias.astype(out.dtype)
+        bias = (
+            self.bias.reshape(1, 1, 1, 3) if self.channels_last else self.bias
+        )
+        out = out + bias.astype(out.dtype)
         if skip is not None:
-            skip = upsample2(skip, tuple(self.blur_kernel))
+            skip = upsample2(
+                skip, tuple(self.blur_kernel), channels_last=self.channels_last
+            )
             out = out + skip
         return out
 
@@ -203,6 +246,11 @@ class Generator(nn.Module):
     split_layer_idx: int = 5
     remaining_layer_idx: int = 13
     fast_masked: bool = True
+    # channels-last (NHWC) synthesis: the TPU-native layout. Params and the
+    # public interface (images, structure feats, noise buffers) stay in torch
+    # NCHW/OIHW layouts; only the internal activations are channels-last, so
+    # checkpoints and callers are layout-agnostic.
+    channels_last: bool = False
 
     def setup(self):
         channels = generator_channels(self.channel_multiplier)
@@ -225,11 +273,13 @@ class Generator(nn.Module):
         self.conv1 = StyledConv(
             channels[4], channels[4], 3, self.style_dim,
             blur_kernel=self.blur_kernel, mask_op=True,
-            fast_masked=self.fast_masked, name="conv1",
+            fast_masked=self.fast_masked, channels_last=self.channels_last,
+            name="conv1",
         )
         self.to_rgb1 = ToRGB(
             channels[4], self.style_dim, upsample=False, mask_op=True,
-            fast_masked=self.fast_masked, name="to_rgb1",
+            fast_masked=self.fast_masked, channels_last=self.channels_last,
+            name="to_rgb1",
         )
 
         convs = []
@@ -246,20 +296,26 @@ class Generator(nn.Module):
                 StyledConv(
                     in_channel, out_channel, 3, self.style_dim, upsample=True,
                     blur_kernel=self.blur_kernel, mask_op=conv_masked,
-                    fast_masked=self.fast_masked, name=f"convs_{2 * (s - 3)}",
+                    fast_masked=self.fast_masked,
+                    channels_last=self.channels_last,
+                    name=f"convs_{2 * (s - 3)}",
                 )
             )
             convs.append(
                 StyledConv(
                     out_channel, out_channel, 3, self.style_dim,
                     blur_kernel=self.blur_kernel, mask_op=conv_masked,
-                    fast_masked=self.fast_masked, name=f"convs_{2 * (s - 3) + 1}",
+                    fast_masked=self.fast_masked,
+                    channels_last=self.channels_last,
+                    name=f"convs_{2 * (s - 3) + 1}",
                 )
             )
             to_rgbs.append(
                 ToRGB(
                     out_channel, self.style_dim, mask_op=rgb_masked,
-                    fast_masked=self.fast_masked, name=f"to_rgbs_{s - 3}",
+                    fast_masked=self.fast_masked,
+                    channels_last=self.channels_last,
+                    name=f"to_rgbs_{s - 3}",
                 )
             )
             in_channel = out_channel
@@ -352,9 +408,10 @@ class Generator(nn.Module):
         deterministic = not randomize_noise and noise is None
 
         B = latent.shape[0]
-        out = jnp.broadcast_to(
-            self.input.astype(latent.dtype), (B,) + self.input.shape[1:]
-        )
+        inp = self.input.astype(latent.dtype)
+        if self.channels_last:
+            inp = jnp.transpose(inp, (0, 2, 3, 1))
+        out = jnp.broadcast_to(inp, (B,) + inp.shape[1:])
         out = self.conv1(out, latent[:, :, 0], mask, noise=noise[0])
         skip = self.to_rgb1(out, latent[:, :, 1], mask)
 
@@ -371,7 +428,11 @@ class Generator(nn.Module):
                 out = conv1(out, latent[:, :, i], mask, noise=noise1)
                 if i + 2 == self.split_layer_idx:
                     if use_structure_code:
-                        out = structure_feats
+                        # structure codes arrive NCHW (public contract)
+                        out = (
+                            jnp.transpose(structure_feats, (0, 2, 3, 1))
+                            if self.channels_last else structure_feats
+                        )
                     intermediate_feats = out
                 out = conv2(out, latent[:, :, i + 1], mask, noise=noise2)
                 if (
@@ -388,6 +449,13 @@ class Generator(nn.Module):
             i += 2
 
         image = skip
+        if self.channels_last:
+            # public contract stays NCHW
+            image = jnp.transpose(image, (0, 3, 1, 2))
+            if intermediate_feats is not None:
+                intermediate_feats = jnp.transpose(
+                    intermediate_feats, (0, 3, 1, 2)
+                )
         if return_latents:
             return image, latent, intermediate_feats
         return image, None, intermediate_feats

@@ -16,25 +16,32 @@ import jax.numpy as jnp
 from jax import lax
 
 _DN = ("NCHW", "OIHW", "NCHW")
+_DN_NHWC = ("NHWC", "OIHW", "NHWC")
 
 
-def conv2d(x, w, bias=None, stride: int = 1, padding: int = 0, groups: int = 1):
-    """``F.conv2d`` parity. x: [B,Cin,H,W], w: [Cout,Cin/groups,kh,kw]."""
+def conv2d(
+    x, w, bias=None, stride: int = 1, padding: int = 0, groups: int = 1,
+    channels_last: bool = False,
+):
+    """``F.conv2d`` parity. x: [B,Cin,H,W] (or [B,H,W,Cin] when
+    ``channels_last``), w: [Cout,Cin/groups,kh,kw] (torch OIHW either way)."""
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
-        dimension_numbers=_DN,
+        dimension_numbers=_DN_NHWC if channels_last else _DN,
         feature_group_count=groups,
     )
     if bias is not None:
-        out = out + bias.reshape(1, -1, 1, 1).astype(out.dtype)
+        bshape = (1, 1, 1, -1) if channels_last else (1, -1, 1, 1)
+        out = out + bias.reshape(bshape).astype(out.dtype)
     return out
 
 
 def conv_transpose2d(
-    x, w, bias=None, stride: int = 2, padding: int = 0, groups: int = 1
+    x, w, bias=None, stride: int = 2, padding: int = 0, groups: int = 1,
+    channels_last: bool = False,
 ):
     """``F.conv_transpose2d`` parity. w: [Cin, Cout/groups, kh, kw].
 
@@ -59,9 +66,10 @@ def conv_transpose2d(
             (kw - 1 - padding, kw - 1 - padding),
         ),
         lhs_dilation=(stride, stride),
-        dimension_numbers=_DN,
+        dimension_numbers=_DN_NHWC if channels_last else _DN,
         feature_group_count=groups,
     )
     if bias is not None:
-        out = out + bias.reshape(1, -1, 1, 1).astype(out.dtype)
+        bshape = (1, 1, 1, -1) if channels_last else (1, -1, 1, 1)
+        out = out + bias.reshape(bshape).astype(out.dtype)
     return out

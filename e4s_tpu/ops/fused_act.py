@@ -22,16 +22,18 @@ def fused_leaky_relu(
     bias: jnp.ndarray | None = None,
     negative_slope: float = 0.2,
     scale: float = SQRT2,
+    channels_last: bool = False,
 ) -> jnp.ndarray:
     """out = scale * leaky_relu(x + bias).
 
     ``bias`` has shape [C] and is broadcast over the channel axis: axis 1 for
     rank >= 3 inputs (NCHW feature maps), last axis for rank <= 2 (linear
     activations) — matching the reference's rearrange
-    (ref: src/models/stylegan2/op/fused_act.py:75-84).
+    (ref: src/models/stylegan2/op/fused_act.py:75-84). With ``channels_last``
+    (NHWC feature maps) the bias broadcasts over the last axis.
     """
     if bias is not None:
-        if x.ndim >= 3:
+        if x.ndim >= 3 and not channels_last:
             shape = [1, -1] + [1] * (x.ndim - 2)
             x = x + bias.reshape(shape)
         else:

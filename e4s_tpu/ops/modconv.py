@@ -41,13 +41,18 @@ blur taps); each phase then reduces to the same patch-modulated conv, and the
 phases interleave back to the 2x resolution. Again exact.
 
 A fused Pallas kernel for the patch-modulated conv lives in
-``e4s_tpu.ops.pallas.modconv_tpu``; this file provides the XLA reference and
-the region-batched "naive" path used to cross-check it in tests.
+``e4s_tpu.ops.pallas.modconv_tpu``; the NHWC (channels-last) path below
+dispatches to it on TPU whenever the shape fits its tiling (see
+``_patch_mod_conv_nhwc``), with gradients routed through the mathematically
+identical XLA formulation via custom_vjp. This file also provides the XLA
+reference paths (NCHW and NHWC) and the region-batched "naive" path used to
+cross-check everything in tests.
 """
 
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -313,6 +318,206 @@ def _composite_up_kernel(w_scaled, bk):
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return E.reshape(Co, Ci, kh + bh - 1, kw + bw - 1)
+
+
+# ---------------------------------------------------------------------------
+# NHWC (channels-last) path — the TPU-preferred layout. Keeping the synthesis
+# activations channels-last makes every tap contraction a [B·H·W, Ci] @
+# [Ci, Co] matmul on contiguous data and lets the fused Pallas kernel consume
+# activations directly (no NCHW<->NHWC boundary transposes, which is what made
+# the round-1 kernel a 0.92x loss). Weights stay torch-OIHW everywhere; the
+# tiny weight transposes happen at call sites.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_wanted() -> bool:
+    """Dispatch switch for the fused Pallas masked-conv kernel.
+
+    E4S_TPU_PALLAS=0 disables, =1 forces (real kernel), =interpret forces the
+    interpreter (for CPU tests); default: enabled on the TPU backend.
+    """
+    v = os.environ.get("E4S_TPU_PALLAS", "")
+    if v == "0":
+        return False
+    if v in ("1", "interpret"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _patch_mod_conv_nhwc_xla(x, w, smap, dmap):
+    """NHWC twin of :func:`_patch_mod_conv`.
+
+    x, smap: [B,H,W,Ci]; w: [Co,Ci,k,k] (odd k); dmap: [B,H,W,Co] or None.
+    """
+    B, H, W, Ci = x.shape
+    Co, _, kh, kw = w.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = jnp.zeros((B, H, W, Co), dtype=jnp.promote_types(x.dtype, jnp.float32))
+    for ty in range(kh):
+        for tx in range(kw):
+            xs = lax.slice(xp, (0, ty, tx, 0), (B, ty + H, tx + W, Ci))
+            acc = acc + jnp.einsum(
+                "bhwi,io->bhwo",
+                smap * xs,
+                w[:, :, ty, tx].T,
+                preferred_element_type=acc.dtype,
+            )
+    if dmap is not None:
+        acc = acc * dmap
+    return acc.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _patch_mod_conv_nhwc_pallas(x, w, smap, dmap):
+    """Fused Pallas forward; gradients flow through the XLA formulation.
+
+    The kernel is forward-only by design: training differentiates the
+    mathematically identical XLA einsum path (custom_vjp below), so the
+    Coach's G/D/R1 steps need no Pallas-specific autodiff rules.
+    """
+    from e4s_tpu.ops.pallas.modconv_tpu import patch_mod_conv3_nhwc
+
+    interpret = os.environ.get("E4S_TPU_PALLAS") == "interpret"
+    return patch_mod_conv3_nhwc(x, w, smap, dmap, interpret=interpret)
+
+
+def _pmc_fwd(x, w, smap, dmap):
+    return _patch_mod_conv_nhwc_pallas(x, w, smap, dmap), (x, w, smap, dmap)
+
+
+def _pmc_bwd(res, g):
+    _, vjp = jax.vjp(_patch_mod_conv_nhwc_xla, *res)
+    return vjp(g)
+
+
+_patch_mod_conv_nhwc_pallas.defvjp(_pmc_fwd, _pmc_bwd)
+
+
+def _patch_mod_conv_nhwc(x, w, smap, dmap):
+    """Layout-local dispatch: fused Pallas kernel when the tiling supports the
+    shape (W multiple of 128, feasible VMEM), XLA einsum path otherwise."""
+    from e4s_tpu.ops.pallas.modconv_tpu import pallas_supported_shape
+
+    B, H, W, Ci = x.shape
+    Co = w.shape[0]
+    if (
+        dmap is not None
+        and w.shape[-1] == 3
+        and _pallas_wanted()
+        and pallas_supported_shape(H, W, Ci, Co)
+    ):
+        return _patch_mod_conv_nhwc_pallas(x, w, smap, dmap)
+    return _patch_mod_conv_nhwc_xla(x, w, smap, dmap)
+
+
+def _region_maps_nhwc(mask, s, d, out_hw, dtype):
+    """NHWC twin of :func:`_region_maps` (smap [B,H,W,Ci], dmap [B,H,W,Co])."""
+    seg = nearest_resize(mask, out_hw).astype(dtype)
+    smap = jnp.einsum("brhw,bri->bhwi", seg, s.astype(dtype))
+    dmap = None
+    if d is not None:
+        dmap = jnp.einsum("brhw,bro->bhwo", seg, d.astype(dtype))
+    return smap, dmap
+
+
+def masked_modulated_conv2d_nhwc(
+    x, w_scaled, s, mask, *, demodulate=True, up=False, blur_kernel=(1, 3, 3, 1)
+):
+    """NHWC twin of :func:`masked_modulated_conv2d` (same math, same tests).
+
+    x: [B,H,W,Ci]; w_scaled: [Co,Ci,k,k]; s: [B,R,Ci]; mask: [B,R,Hm,Wm].
+    """
+    B, R, Ci = s.shape
+    H, W = x.shape[1:3]
+    d = demod_coeff(w_scaled, s) if demodulate else None
+
+    if not up:
+        smap, dmap = _region_maps_nhwc(mask, s, d, (H, W), x.dtype)
+        return _patch_mod_conv_nhwc(x, w_scaled, smap, dmap)
+
+    ksize = w_scaled.shape[-1]
+    p = (len(blur_kernel) - 2) - (ksize - 1)
+    pad0 = (p + 1) // 2 + 1
+    pad1 = p // 2 + 1
+    assert (pad0, pad1) == (1, 1) and ksize == 3 and len(blur_kernel) == 4, (
+        "polyphase fast path is specialised to k=3, blur len 4 (the only "
+        "configuration StyleGAN2 uses)"
+    )
+    bk = make_kernel(blur_kernel) * 4.0
+    E = _composite_up_kernel(w_scaled, bk)  # [Co,Ci,6,6]
+
+    seg_full = nearest_resize(mask, (2 * H, 2 * W))
+    phases = []
+    for a in (0, 1):
+        row = []
+        for b in (0, 1):
+            Kab = E[:, :, (a + 4, a + 2, a), :][:, :, :, (b + 4, b + 2, b)]
+            seg_ab = seg_full[:, :, a::2, b::2].astype(x.dtype)
+            sm = jnp.einsum("brhw,bri->bhwi", seg_ab, s.astype(x.dtype))
+            dm = (
+                jnp.einsum("brhw,bro->bhwo", seg_ab, d.astype(x.dtype))
+                if d is not None
+                else None
+            )
+            row.append(_patch_mod_conv_nhwc(x, Kab, sm, dm))
+        phases.append(row)
+
+    # Interleave: out[:, 2n+a, 2m+b, :] = phases[a][b][:, n, m, :].
+    Co = w_scaled.shape[0]
+    out = jnp.stack([jnp.stack(r, axis=3) for r in phases], axis=2)
+    # axes: [B, H, a, W, b, Co]
+    return out.reshape(B, 2 * H, 2 * W, Co)
+
+
+def modulated_conv2d_nhwc(
+    x, w_scaled, s, *, demodulate=True, up=False, down=False,
+    blur_kernel=(1, 3, 3, 1),
+):
+    """NHWC twin of :func:`modulated_conv2d` (shared-style layers >= K).
+
+    x: [B,H,W,Ci]; w_scaled: [Co,Ci,k,k]; s: [B,Ci].
+    """
+    ksize = w_scaled.shape[-1]
+    xm = x * s[:, None, None, :].astype(x.dtype)
+
+    if up:
+        out = convops.conv_transpose2d(
+            xm, jnp.swapaxes(w_scaled, 0, 1), stride=2, padding=0,
+            channels_last=True,
+        )
+        p = (len(blur_kernel) - 2) - (ksize - 1)
+        pad0 = (p + 1) // 2 + 1
+        pad1 = p // 2 + 1
+        k = make_kernel(blur_kernel) * 4.0
+        if demodulate:
+            d = demod_coeff(w_scaled, s)
+            out = out * d[:, None, None, :].astype(out.dtype)
+        return upfirdn2d(out, k, pad=(pad0, pad1), channels_last=True)
+
+    if down:
+        p = (len(blur_kernel) - 2) + (ksize - 1)
+        pad0 = (p + 1) // 2
+        pad1 = p // 2
+        k = make_kernel(blur_kernel)
+        xm = upfirdn2d(xm, k, pad=(pad0, pad1), channels_last=True)
+        out = convops.conv2d(xm, w_scaled, stride=2, padding=0, channels_last=True)
+    else:
+        out = convops.conv2d(xm, w_scaled, padding=ksize // 2, channels_last=True)
+
+    if demodulate:
+        d = demod_coeff(w_scaled, s)
+        out = out * d[:, None, None, :].astype(out.dtype)
+    return out
+
+
+def masked_torgb_nhwc(x, w_scaled, s, mask):
+    """NHWC twin of :func:`masked_torgb` (1x1 modulated conv, no demod)."""
+    H, W = x.shape[1:3]
+    smap, _ = _region_maps_nhwc(mask, s, None, (H, W), x.dtype)
+    return jnp.einsum(
+        "bhwi,io->bhwo", smap * x, w_scaled[:, :, 0, 0].T.astype(x.dtype)
+    )
 
 
 def masked_torgb(x, w_scaled, s, mask):

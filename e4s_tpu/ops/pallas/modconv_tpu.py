@@ -3,18 +3,26 @@
 This fuses the heart of E4S's mask-guided modulated conv (see
 ops/modconv.py's module docstring for the math): per output row-band it
 
-  1. reads three row-shifted, width-padded copies of the input as ordinary
-     aligned VMEM blocks (no manual halo DMA — the axon runtime does not
-     support arbitrary-offset DMA from HBM refs),
+  1. reads one aligned row band of the width-padded input plus a tiny
+     2-row "halo" operand (the first two rows of the next band, gathered
+     once by XLA — the axon runtime does not support arbitrary-offset
+     halo DMA from HBM refs, and aligned band + explicit halo keeps the
+     prep traffic at 2/TH of x instead of the 3x row-shifted copies the
+     round-1 kernel paid),
   2. accumulates the nine shifted (smap * x_shift) @ W_tap matmuls on the
      MXU in f32 without materialising any of the nine modulated copies,
   3. applies the per-pixel demodulation epilogue in-register.
 
-The XLA path materialises the nine modulated [B,Ci,H,W] intermediates in
-HBM; the kernel's traffic is a 3x read of x + smap + dmap + one write.
+The XLA path materialises the nine modulated [B,H,W,Ci] intermediates in
+HBM (or re-reads x/smap per tap when it fuses); the kernel's traffic is
+~1x read of x + smap + dmap + one write.
 
-Layout: NHWC inside the kernel (channels on lanes); the public wrapper
-transposes from the framework's NCHW at the boundary.
+Layout: NHWC (channels on lanes). The generator's synthesis path runs
+channels-last end-to-end, so ``patch_mod_conv3_nhwc`` consumes activations
+directly with no boundary transposes; a legacy NCHW wrapper
+(``patch_mod_conv3``) transposes at the boundary for layout cross-checks.
+Dispatch (shape gating, grad routing via custom_vjp) lives in
+``e4s_tpu.ops.modconv._patch_mod_conv_nhwc``.
 """
 
 from __future__ import annotations
@@ -28,75 +36,108 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-TW = 128  # lane-width chunk of W per grid cell
-
-
-def _kernel(x6_ref, smap_ref, dmap_ref, w_ref, out_ref, *, TH, Ci, Co):
-    # x6_ref block: [1, 3, TH, 1, TW+2, Ci] — row-shifted, W-chunked slabs
-    smap = smap_ref[0]  # [TH, TW, Ci]
-    acc = jnp.zeros((TH * TW, Co), dtype=jnp.float32)
+def _kernel(x_ref, halo_ref, smap_ref, dmap_ref, w_ref, out_ref, *, TH, W, Ci, Co):
+    # x_ref block: [1, TH, W+2, Ci] — aligned band of the width-padded input
+    # halo_ref:    [1, 1, 2, W+2, Ci] — rows TH, TH+1 relative to band start
+    xfull = jnp.concatenate([x_ref[0], halo_ref[0, 0]], axis=0)  # [TH+2, W+2, Ci]
+    smap = smap_ref[0]  # [TH, W, Ci]
+    acc = jnp.zeros((TH * W, Co), dtype=jnp.float32)
     for ty in range(3):
-        xband = x6_ref[0, ty, :, 0]  # [TH, TW+2, Ci]
+        xband = xfull[ty : ty + TH]  # [TH, W+2, Ci]
         for tx in range(3):
-            xs = xband[:, tx : tx + TW, :]
-            mod = (xs * smap).reshape(TH * TW, Ci)
+            xs = xband[:, tx : tx + W, :]
+            mod = (xs * smap).reshape(TH * W, Ci)
             acc = acc + jnp.dot(
                 mod,
                 w_ref[(ty * 3 + tx) * Ci : (ty * 3 + tx + 1) * Ci, :],
                 preferred_element_type=jnp.float32,
             )
-    out = acc.reshape(TH, TW, Co)
+    out = acc.reshape(TH, W, Co)
     out_ref[0] = (out * dmap_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _pick_th(H, W, Ci, Co):
-    if W % TW != 0:
+def _pick_th(H, W, Ci, Co, itemsize=4):
+    if W % 8 != 0 or Ci % 8 != 0:
         return None
     for th in (16, 8):
         if H % th == 0:
-            vmem = 4 * (
-                2 * 3 * th * (TW + 2) * Ci     # x slabs (double buffered)
-                + 2 * th * TW * (Ci + 2 * Co)  # smap + dmap + out (buffered)
-                + 2 * th * TW * max(Ci, Co)    # acc + mod temps
-                + 9 * Ci * Co                  # weights
+            vmem = (
+                itemsize * (
+                    2 * (th + 2) * (W + 2) * Ci  # band + halo (double buffered)
+                    + 2 * th * W * (Ci + 2 * Co)  # smap + dmap + out (buffered)
+                    + 9 * Ci * Co                # weights
+                )
+                + 4 * th * W * (Ci + Co)         # mod + acc temps (f32)
             )
-            if vmem < 10 * 1024 * 1024:
+            if vmem < 13 * 1024 * 1024:          # ~16MB VMEM/core, some slack
                 return th
     return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(x6, smap, dmap, w9, *, interpret=False):
-    B, three, H, NJ, TWp, Ci = x6.shape
-    W = NJ * TW
+def _run(xp, halo, smap, dmap, w9, *, interpret=False):
+    B, H, Wp, Ci = xp.shape
+    W = Wp - 2
     Co = w9.shape[1]
-    TH = _pick_th(H, W, Ci, Co)
-    kernel = functools.partial(_kernel, TH=TH, Ci=Ci, Co=Co)
+    TH = _pick_th(H, W, Ci, Co, itemsize=xp.dtype.itemsize)
+    kernel = functools.partial(_kernel, TH=TH, W=W, Ci=Ci, Co=Co)
     return pl.pallas_call(
         kernel,
-        grid=(B, H // TH, NJ),
+        grid=(B, H // TH),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, TH, 1, TWp, Ci), lambda b, i, j: (b, 0, i, j, 0, 0),
+                (1, TH, Wp, Ci), lambda b, i: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TH, TW, Ci), lambda b, i, j: (b, i, j, 0),
+                (1, 1, 2, Wp, Ci), lambda b, i: (b, i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TH, TW, Co), lambda b, i, j: (b, i, j, 0),
+                (1, TH, W, Ci), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TH, W, Co), lambda b, i: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w9 replicated
         ],
         out_specs=pl.BlockSpec(
-            (1, TH, TW, Co), lambda b, i, j: (b, i, j, 0),
+            (1, TH, W, Co), lambda b, i: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Co), smap.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x_dtype_of(xp, smap)),
         interpret=interpret,
-    )(x6, smap, dmap, w9)
+    )(xp, halo, smap, dmap, w9)
+
+
+def x_dtype_of(x, smap):
+    return jnp.promote_types(x.dtype, smap.dtype)
+
+
+def patch_mod_conv3_nhwc(x, w, smap, dmap, interpret=False):
+    """NHWC entry — the native layout; no boundary transposes.
+
+    x, smap: [B,H,W,Ci]; w: [Co,Ci,3,3]; dmap: [B,H,W,Co] or None.
+    """
+    B, H, W, Ci = x.shape
+    Co = w.shape[0]
+    TH = _pick_th(H, W, Ci, Co, itemsize=x.dtype.itemsize)
+    # width-pad by 1 (kernel slides taps in VMEM); height halos are supplied
+    # as a separate aligned operand: band i needs padded rows
+    # [i*TH, i*TH+TH+2) and its block covers [i*TH, i*TH+TH).
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # [B, H+2, W+2, Ci]
+    nH = H // TH
+    idx = np.minimum(
+        (np.arange(1, nH + 1) * TH)[:, None] + np.arange(2)[None, :], H + 1
+    )  # [nH, 2] rows TH, TH+1 relative to each band start
+    halo = xp[:, idx.reshape(-1)].reshape(B, nH, 2, W + 2, Ci)
+    xp = xp[:, :H]  # aligned TH-row bands start at padded row 0
+    if dmap is None:
+        dmap = jnp.ones((B, H, W, Co), smap.dtype)
+    w9 = jnp.transpose(w, (2, 3, 1, 0)).reshape(9 * Ci, Co)
+    return _run(xp, halo, smap, dmap, w9, interpret=interpret)
 
 
 def patch_mod_conv3(x, w, smap, dmap, interpret=False):
@@ -104,30 +145,24 @@ def patch_mod_conv3(x, w, smap, dmap, interpret=False):
 
     x, smap: [B,Ci,H,W]; w: [Co,Ci,3,3]; dmap: [B,Co,H,W] or None.
     """
-    B, Ci, H, W = x.shape
-    Co = w.shape[0]
-    # NHWC + pad 1; three row-shifted copies; W pre-chunked into overlapping
-    # TW+2 slabs so every Pallas block is aligned (no halo DMA needed)
-    xp = jnp.transpose(
-        jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1))), (0, 2, 3, 1)
+    out = patch_mod_conv3_nhwc(
+        jnp.transpose(x, (0, 2, 3, 1)),
+        w,
+        jnp.transpose(smap, (0, 2, 3, 1)),
+        None if dmap is None else jnp.transpose(dmap, (0, 2, 3, 1)),
+        interpret=interpret,
     )
-    x3 = jnp.stack([xp[:, 0:H], xp[:, 1 : H + 1], xp[:, 2 : H + 2]], axis=1)
-    nj = W // TW
-    x6 = jnp.stack(
-        [x3[:, :, :, j * TW : j * TW + TW + 2, :] for j in range(nj)], axis=3
-    )  # [B, 3, H, NJ, TW+2, Ci]
-    smap_t = jnp.transpose(smap, (0, 2, 3, 1))
-    if dmap is None:
-        dmap_t = jnp.ones((B, H, W, Co), smap.dtype)
-    else:
-        dmap_t = jnp.transpose(dmap, (0, 2, 3, 1))
-    w9 = jnp.transpose(w, (2, 3, 1, 0)).reshape(9 * Ci, Co)
-    out = _run(x6, smap_t, dmap_t, w9, interpret=interpret)
     return jnp.transpose(out, (0, 3, 1, 2))
 
 
 def pallas_supported_shape(H: int, W: int, Ci: int, Co: int) -> bool:
-    """Tiling / VMEM feasibility check for dispatch from ops.modconv."""
-    if W < 128 or W % 128 != 0 or H < 8:
+    """Dispatch gate: tiling/VMEM feasibility + lane-efficient channels.
+
+    Ci/Co multiples of 128 keep the [.., Ci] lane dimension fully packed
+    (all masked generator layers at >=128^2 qualify: Ci, Co in
+    {128, 256, 512}); smaller channel counts would waste most of each
+    VMEM lane tile, where the XLA path is already fine.
+    """
+    if W < 128 or H < 8 or Ci % 128 != 0 or Co % 128 != 0:
         return False
     return _pick_th(H, W, Ci, Co) is not None

@@ -20,9 +20,11 @@ implements by hand, ref: upfirdn2d.py:104-113), so no custom VJP is needed for
 correctness. Double-backward (needed by R1/path-length regularisers) is also
 native.
 
-All blur kernels used by StyleGAN2 ([1,3,3,1] outer product) are separable;
-a fused Pallas kernel for the hot specialisations lives in
-``e4s_tpu.ops.pallas.upfirdn2d_tpu`` and is used when beneficial.
+A dedicated Pallas kernel was evaluated and retired: a single depthwise
+dilated conv is already a memory-bound op that XLA schedules well, and the
+masked-modconv kernel (``e4s_tpu.ops.pallas.modconv_tpu``) absorbs the only
+upfirdn2d instances that sit on the hot path (the polyphase-folded upsample
+blurs in the masked generator layers).
 """
 
 from __future__ import annotations
@@ -53,11 +55,12 @@ def upfirdn2d(
     up: int = 1,
     down: int = 1,
     pad: tuple[int, int] = (0, 0),
+    channels_last: bool = False,
 ) -> jnp.ndarray:
     """Apply upsample(up) -> FIR(kernel) -> downsample(down) with padding.
 
     Args:
-      x:      [B, C, H, W] input.
+      x:      [B, C, H, W] input ([B, H, W, C] when ``channels_last``).
       kernel: [kh, kw] FIR kernel (not flipped; we correlate with the flipped
               kernel, matching the reference convention).
       up:     integer upsampling factor (zero-stuffing).
@@ -74,13 +77,18 @@ def upfirdn2d(
     return _upfirdn2d_general(
         x, kernel, up_x=up, up_y=up, down_x=down, down_y=down,
         pad_x0=pad[0], pad_x1=pad[1], pad_y0=pad[0], pad_y1=pad[1],
+        channels_last=channels_last,
     )
 
 
 def _upfirdn2d_general(
-    x, kernel, *, up_x, up_y, down_x, down_y, pad_x0, pad_x1, pad_y0, pad_y1
+    x, kernel, *, up_x, up_y, down_x, down_y, pad_x0, pad_x1, pad_y0, pad_y1,
+    channels_last=False,
 ):
-    B, C, H, W = x.shape
+    if channels_last:
+        B, H, W, C = x.shape
+    else:
+        B, C, H, W = x.shape
     kh, kw = kernel.shape
 
     # Depthwise correlation with the flipped kernel == FIR convolution.
@@ -97,6 +105,9 @@ def _upfirdn2d_general(
     # trailing zeros only ever contribute zeros to the FIR sum, so results
     # agree as long as the requested output extent matches; we compensate by
     # adding (up-1) to the trailing pad.
+    dn = (
+        ("NHWC", "HWIO", "NHWC") if channels_last else ("NCHW", "HWIO", "NCHW")
+    )
     out = lax.conv_general_dilated(
         x,
         flt,
@@ -104,7 +115,7 @@ def _upfirdn2d_general(
         padding=((pad_y0, pad_y1 + (up_y - 1)), (pad_x0, pad_x1 + (up_x - 1))),
         lhs_dilation=(up_y, up_x),
         rhs_dilation=(1, 1),
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        dimension_numbers=dn,
         feature_group_count=C,
     )
 
@@ -112,6 +123,8 @@ def _upfirdn2d_general(
     out_w = (W * up_x + pad_x0 + pad_x1 - kw) // down_x + 1
     # The trailing-zero compensation can only ever make the output >= the
     # reference extent; crop to the exact reference shape.
+    if channels_last:
+        return out[:, :out_h, :out_w, :]
     return out[:, :, :out_h, :out_w]
 
 
@@ -120,7 +133,7 @@ def _upfirdn2d_general(
 # ---------------------------------------------------------------------------
 
 
-def blur(x, kernel, pad, upsample_factor: int = 1):
+def blur(x, kernel, pad, upsample_factor: int = 1, channels_last: bool = False):
     """Blur block: FIR filter with optional gain for post-upsample use.
 
     ref: src/models/stylegan2/model.py:78-94
@@ -128,22 +141,24 @@ def blur(x, kernel, pad, upsample_factor: int = 1):
     k = make_kernel(kernel)
     if upsample_factor > 1:
         k = k * (upsample_factor ** 2)
-    return upfirdn2d(x, k, pad=pad)
+    return upfirdn2d(x, k, pad=pad, channels_last=channels_last)
 
 
-def upsample2(x, kernel=(1, 3, 3, 1), factor: int = 2):
+def upsample2(x, kernel=(1, 3, 3, 1), factor: int = 2, channels_last: bool = False):
     """2x upsample with FIR interpolation. ref: model.py:34-53"""
     k = make_kernel(kernel) * (factor ** 2)
     p = k.shape[0] - factor
     pad0 = (p + 1) // 2 + factor - 1
     pad1 = p // 2
-    return upfirdn2d(x, k, up=factor, down=1, pad=(pad0, pad1))
+    return upfirdn2d(x, k, up=factor, down=1, pad=(pad0, pad1),
+                     channels_last=channels_last)
 
 
-def downsample2(x, kernel=(1, 3, 3, 1), factor: int = 2):
+def downsample2(x, kernel=(1, 3, 3, 1), factor: int = 2, channels_last: bool = False):
     """2x downsample with FIR anti-aliasing. ref: model.py:56-75"""
     k = make_kernel(kernel)
     p = k.shape[0] - factor
     pad0 = (p + 1) // 2
     pad1 = p // 2
-    return upfirdn2d(x, k, up=1, down=factor, pad=(pad0, pad1))
+    return upfirdn2d(x, k, up=1, down=factor, pad=(pad0, pad1),
+                     channels_last=channels_last)

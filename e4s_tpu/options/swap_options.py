@@ -16,6 +16,9 @@ class SwapFacePipelineOptions:
                        help='Whether to use Laplacian multi-band blending')
         p.add_argument('--bf16', action='store_true',
                        help='bfloat16 inference (f32 demod/accum retained)')
+        p.add_argument('--channels_last', default=True,
+                       type=lambda x: str(x).lower() != 'false',
+                       help='NHWC synthesis internals (TPU-native; checkpoint-compatible either way)')
         # ================= Model =====================
         p.add_argument('--out_size', type=int, default=1024)
         p.add_argument('--fsencoder_type', type=str, default="psp")

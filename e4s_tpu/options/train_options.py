@@ -52,12 +52,18 @@ class TrainOptions:
         p.add_argument('--d_every', default=15, type=int)
         p.add_argument('--max_steps', default=200000, type=int)
         p.add_argument('--image_interval', default=200 * 5 * 2, type=int)
+        # samples for the mean-latent estimate when no StyleGAN2 bootstrap /
+        # resume checkpoint provides latent_avg (ref: coach.py:139-144)
+        p.add_argument('--latent_avg_samples', default=100000, type=int)
         p.add_argument('--board_interval', default=30 * 10 * 2, type=int)
         p.add_argument('--val_interval', default=5000 * 2 * 2, type=int)
         p.add_argument('--save_interval', default=10000 * 5 * 2, type=int)
         p.add_argument('--seed', default=0, type=int)
         p.add_argument('--bf16', action='store_true',
                        help='bfloat16 activations (params stay fp32)')
+        p.add_argument('--channels_last', default=True,
+                       type=lambda x: str(x).lower() != 'false',
+                       help='NHWC synthesis internals (TPU-native; checkpoint-compatible either way)')
         p.add_argument('--tensorboard', action='store_true',
                        help='also write TensorBoard scalars (imports torch; '
                             'JSONL metrics are always written)')

@@ -20,6 +20,8 @@ from e4s_tpu.models.net3 import Net3
 
 
 def build_net(opts) -> Net3:
+    # NHWC synthesis internals by default (checkpoint-compatible either way;
+    # measured faster on TPU and what dispatches the fused Pallas masked conv)
     return Net3(
         num_seg_cls=opts.num_seg_cls,
         out_size=opts.out_size,
@@ -27,6 +29,7 @@ def build_net(opts) -> Net3:
         n_styles=opts.n_styles,
         start_from_latent_avg=opts.start_from_latent_avg,
         learn_in_w=getattr(opts, "learn_in_w", False),
+        channels_last=getattr(opts, "channels_last", True),
     )
 
 

@@ -130,6 +130,7 @@ class Coach:
             start_from_latent_avg=opts.start_from_latent_avg,
             learn_in_w=opts.learn_in_w,
             fast_masked=getattr(opts, "fast_masked", True),
+            channels_last=getattr(opts, "channels_last", True),
         )
         self.D = Discriminator(size=opts.out_size) if opts.train_D else None
 

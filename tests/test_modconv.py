@@ -139,3 +139,68 @@ def test_empty_region_contributes_zero():
     o1 = np.asarray(masked_modulated_conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(s1), jnp.asarray(mask)))
     o2 = np.asarray(masked_modulated_conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(s2), jnp.asarray(mask)))
     np.testing.assert_allclose(o1, o2, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# NHWC (channels-last) twins must match the NCHW paths exactly.
+# ---------------------------------------------------------------------------
+
+
+def _mk_inputs(seed=0, B=2, R=12, Ci=16, Co=24, H=16, W=16):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, Ci, H, W).astype(np.float32))
+    w = jnp.asarray((rng.randn(Co, Ci, 3, 3) * 0.1).astype(np.float32))
+    s = jnp.asarray((rng.rand(B, R, Ci) + 0.5).astype(np.float32))
+    lab = rng.randint(0, R, (B, 2 * H, 2 * W))
+    mask = jnp.asarray(
+        (lab[:, None] == np.arange(R)[None, :, None, None]).astype(np.float32)
+    )
+    return x, w, s, mask
+
+
+@pytest.mark.parametrize("up", [False, True])
+@pytest.mark.parametrize("demodulate", [False, True])
+def test_masked_nhwc_equals_nchw(demodulate, up):
+    from e4s_tpu.ops.modconv import masked_modulated_conv2d_nhwc
+
+    x, w, s, mask = _mk_inputs()
+    want = masked_modulated_conv2d(x, w, s, mask, demodulate=demodulate, up=up)
+    got = masked_modulated_conv2d_nhwc(
+        jnp.transpose(x, (0, 2, 3, 1)), w, s, mask, demodulate=demodulate, up=up
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 3, 1, 2))), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_torgb_nhwc_equals_nchw():
+    from e4s_tpu.ops.modconv import masked_torgb_nhwc
+
+    x, _, s, mask = _mk_inputs()
+    w1 = jnp.asarray(
+        (np.random.RandomState(3).randn(3, x.shape[1], 1, 1) * 0.1).astype(
+            np.float32
+        )
+    )
+    want = masked_torgb(x, w1, s, mask)
+    got = masked_torgb_nhwc(jnp.transpose(x, (0, 2, 3, 1)), w1, s, mask)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 3, 1, 2))), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("mode", ["plain", "up", "down"])
+def test_unmasked_nhwc_equals_nchw(mode):
+    from e4s_tpu.ops.modconv import modulated_conv2d_nhwc
+
+    x, w, s, _ = _mk_inputs()
+    s1 = s[:, 0]
+    kw = {"up": mode == "up", "down": mode == "down"}
+    want = modulated_conv2d(x, w, s1, **kw)
+    got = modulated_conv2d_nhwc(jnp.transpose(x, (0, 2, 3, 1)), w, s1, **kw)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 3, 1, 2))), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )

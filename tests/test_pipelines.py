@@ -248,3 +248,47 @@ def test_optimization_noise_refinement(tmp_path):
         f"joint noise refinement should reach lower loss "
         f"({losses_noise[-1]} vs {losses_plain[-1]})"
     )
+
+
+def test_bf16_quality_gate():
+    """bf16 inference must stay numerically close to f32 (VERDICT r1 #4).
+
+    Gate: PSNR(f32 vs bf16 synthesis) >= 40 dB and relative RMSE <= 3% on a
+    fixed-seed full forward. Measured headroom: ~55.7 dB / 0.8% at 128^2
+    (random init; demod/accum stay f32 inside the ops either way). The same
+    casting scheme measured 49.8 swaps/s vs 41.4 f32 on v5e at 1024^2.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from e4s_tpu.models.net3 import Net3
+    from e4s_tpu.pipelines.model_io import cast_pytree_bf16
+
+    S, R = 128, 12
+    net = Net3(out_size=S, remaining_layer_idx=9, n_styles=14,
+               channels_last=True)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 3, S, S).astype(np.float32) * 2 - 1)
+    lab = rng.randint(0, R, (1, S, S))
+    mask = jnp.asarray(
+        (lab[:, None] == np.arange(R)[None, :, None, None]).astype(np.float32)
+    )
+    la = jnp.asarray(rng.randn(14, 512).astype(np.float32) * 0.1)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, mask, latent_avg=la, randomize_noise=False,
+    )
+    out32, _ = net.apply(
+        variables, img, mask, latent_avg=la, randomize_noise=False
+    )
+    vb, ib, mb, lb = cast_pytree_bf16((variables, img, mask, la))
+    out16, _ = net.apply(vb, ib, mb, latent_avg=lb, randomize_noise=False)
+
+    out32 = np.asarray(out32)
+    out16 = np.asarray(out16, np.float32)
+    sig_range = float(out32.max() - out32.min())
+    mse = float(np.mean((out16 - out32) ** 2))
+    psnr = 10 * np.log10(sig_range**2 / mse)
+    rel = float(np.sqrt(mse) / np.std(out32))
+    assert psnr >= 40.0, f"bf16 PSNR degraded: {psnr:.1f} dB"
+    assert rel <= 0.03, f"bf16 relative RMSE degraded: {rel:.4f}"

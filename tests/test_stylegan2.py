@@ -69,6 +69,28 @@ def test_fast_masked_equals_naive_full_generator(gen_setup):
     )
 
 
+def test_channels_last_equals_nchw_full_generator(gen_setup):
+    """The NHWC synthesis path consumes the SAME variables (params stay in
+    torch layouts) and must reproduce the NCHW output exactly."""
+    gen, variables, latent, mask = gen_setup
+    img_nchw, _, feats_nchw = gen.apply(
+        variables, [latent], None, mask,
+        input_is_latent=True, randomize_noise=False,
+    )
+    gen_cl = Generator(size=SIZE, remaining_layer_idx=K, channels_last=True)
+    img_cl, _, feats_cl = gen_cl.apply(
+        variables, [latent], None, mask,
+        input_is_latent=True, randomize_noise=False,
+    )
+    assert img_cl.shape == img_nchw.shape  # public contract stays NCHW
+    np.testing.assert_allclose(
+        np.asarray(img_cl), np.asarray(img_nchw), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_cl), np.asarray(feats_nchw), rtol=5e-3, atol=5e-4
+    )
+
+
 def test_generator_randomize_noise_runs(gen_setup):
     gen, variables, latent, mask = gen_setup
     img, _, _ = gen.apply(
