@@ -151,8 +151,16 @@ class CelebAHQDataset:
         self.labels = sorted(
             osp.join(self.root, "CelebA-HQ-mask", "%d.png" % i) for i in rng
         )
+        # mask visualisations (ref: dataset.py:275-286)
+        self.labels_vis = (
+            sorted(osp.join(self.root, "vis", "%d.png" % i) for i in rng)
+            if load_vis_img else None
+        )
         n = int(len(self.imgs) * fraction)
         self.imgs, self.labels = self.imgs[:n], self.labels[:n]
+        if load_vis_img:
+            self.labels_vis = self.labels_vis[:n]
+            assert len(self.imgs) == len(self.labels) == len(self.labels_vis)
 
     def __len__(self):
         return len(self.imgs)
@@ -165,10 +173,19 @@ class CelebAHQDataset:
         img = _load_pair_fast(img, self.normalize)
         label_np = self.label_converter(np.asarray(label))
         label_t = label_np[None].astype(np.int32)  # [1,H,W]
+        if self.load_vis_img:
+            # un-normalised [0,1] CHW, like the reference's TO_TENSOR-only
+            # path (ref: dataset.py:320-323)
+            vis = Image.open(self.labels_vis[idx]).convert("RGB")
+            label_vis = _load_pair_fast(vis, normalize=False)
+        else:
+            label_vis = -1  # unified interface (ref: dataset.py:325)
         if self.flip_p > 0 and random.random() < self.flip_p:
             img = img[:, :, ::-1].copy()
             label_t = label_t[:, :, ::-1].copy()
-        return img, label_t, -1
+            if self.load_vis_img:
+                label_vis = label_vis[:, :, ::-1].copy()
+        return img, label_t, label_vis
 
 
 def _load_pair_fast(img, normalize: bool) -> np.ndarray:

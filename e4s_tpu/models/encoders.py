@@ -31,7 +31,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.param(
-            "weight", lambda key: jnp.full((self.channel,), 0.25)
+            "weight", lambda key: jnp.full((self.channel,), 0.25, jnp.float32)
         ).astype(x.dtype)
         w = w.reshape((1, -1) + (1,) * (x.ndim - 2))
         return jnp.maximum(x, 0) + w * jnp.minimum(x, 0)

@@ -47,7 +47,10 @@ class EqualLinear(nn.Module):
         bias = None
         if self.use_bias:
             bias = self.param(
-                "bias", lambda key: jnp.full((self.out_dim,), self.bias_init)
+                # explicit dtype: weak-typed params change aval after the first
+                # optimizer update and force jit retraces of the train step
+                "bias",
+                lambda key: jnp.full((self.out_dim,), self.bias_init, jnp.float32)
             )
         w = (weight * scale).astype(x.dtype)
         out = x @ w.T

@@ -103,10 +103,10 @@ class MSCABlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         ls1 = self.param(
-            "layer_scale_1", lambda k: jnp.full((self.dim,), 1e-2)
+            "layer_scale_1", lambda k: jnp.full((self.dim,), 1e-2, jnp.float32)
         )
         ls2 = self.param(
-            "layer_scale_2", lambda k: jnp.full((self.dim,), 1e-2)
+            "layer_scale_2", lambda k: jnp.full((self.dim,), 1e-2, jnp.float32)
         )
         # attention branch
         h = FrozenBatchNorm(self.dim, name="norm1")(x)

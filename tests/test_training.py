@@ -83,7 +83,23 @@ def test_coach_trains_on_8dev_mesh(tmp_path):
         coach.state.params["G"]["convs_7"]["conv"]["weight"]  # layer idx 8 >= K=7
     )
 
+    # no weak-typed leaves: a weak->strong aval flip after the first update
+    # forces silent jit retraces of the (minutes-long on TPU) train step
+    weak = [
+        jax.tree_util.keystr(p)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(coach.state)
+        if leaf is not None and getattr(leaf, "weak_type", False)
+    ]
+    assert not weak, f"weak-typed TrainState leaves would retrace: {weak[:5]}"
+
     coach.train(max_steps=2)
+
+    # steps must reuse the compiled executables (aval drift = retrace)
+    for fn in (coach._compiled_g, coach._compiled_d):
+        try:
+            assert fn._cache_size() <= 1
+        except AttributeError:
+            pass
 
     params_after = jax.device_get(coach.state.params["MLPs_0"]["fc1"]["weight"])
     g_after = jax.device_get(coach.state.params["G"]["convs_0"]["conv"]["weight"])
