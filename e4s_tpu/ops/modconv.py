@@ -341,6 +341,12 @@ def _pallas_wanted() -> bool:
         return False
     if v in ("1", "interpret"):
         return True
+    # honour jax.default_device(cpu) contexts (e.g. the bench CPU baseline):
+    # the default *backend* still reports tpu there, but lowering the kernel
+    # for CPU would fail
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) != "tpu":
+        return False
     return jax.default_backend() == "tpu"
 
 

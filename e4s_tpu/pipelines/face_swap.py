@@ -26,13 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from e4s_tpu.datasets.dataset import label_map_to_onehot
 from e4s_tpu.models.net3 import Net3
 from e4s_tpu.ops.blending import blend_images
 from e4s_tpu.ops.morphology import create_masks
 from e4s_tpu.ops.resize import bilinear_resize
 from e4s_tpu.pipelines.model_io import load_face_parser, load_net3
-from e4s_tpu.pipelines.swap_core import make_swap_core, stitch_foreground
+from e4s_tpu.pipelines.swap_core import (
+    make_swap_core,
+    make_swap_e2e,
+    stitch_foreground,
+)
 from e4s_tpu.utils.img_utils import tensor2im, vis_mask_in_color
 from e4s_tpu.utils.swap_mask import swap_head_mask
 
@@ -48,8 +51,17 @@ class FaceSwapper:
         )
         self.reenactor = reenactor  # FaceVid2Vid driver: (S01, T01) -> D01
         self.restorer = restorer  # GPEN: D01 -> D01 restored
-        self._swap_core = jax.jit(make_swap_core(self.net))
+        self._swap_core = jax.jit(make_swap_core(self.net, from_labels=True))
         self._stitch = jax.jit(stitch_foreground, static_argnames=("outer_dilation",))
+        # fully fused uint8->uint8 program (parse + mask swap + core + stitch
+        # on device): the host<->device link is the e2e bottleneck (~20 MB/s
+        # tunnel), so the default path transfers 2 uint8 images up and 1 down.
+        # Injected parser stand-ins without a .model (tests) use the staged
+        # host path instead.
+        self._swap_e2e = (
+            jax.jit(make_swap_e2e(self.net, self.parser.model))
+            if hasattr(self.parser, "model") else None
+        )
 
     # -------------------------- host helpers --------------------------
 
@@ -162,6 +174,25 @@ class FaceSwapper:
         else:
             D01 = S01  # fallback: use the source directly
 
+        # default fast path: the whole parse->swap->stitch program on device,
+        # 2 uint8 uploads + 1 uint8 download. The staged path below remains
+        # for target-mask overrides, Laplacian blending, and verbose dumps.
+        if (
+            self._swap_e2e is not None
+            and target_mask is None
+            and not verbose
+            and not getattr(opts, "lap_bld", False)
+        ):
+            src_u8 = np.clip(D01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            tgt_u8 = np.clip(T01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            out_u8, _, _ = self._swap_e2e(
+                self.variables, self.parser.variables,
+                jnp.asarray(src_u8), jnp.asarray(tgt_u8), self.latent_avg,
+            )
+            return Image.fromarray(
+                np.transpose(np.asarray(out_u8[0]), (1, 2, 0))
+            )
+
         # parse masks (12-class)
         T_mask = self._parse12(T01)[0] if target_mask is None else target_mask
         D_mask = self._parse12(D01)[0]
@@ -189,19 +220,15 @@ class FaceSwapper:
         dt = jnp.bfloat16 if getattr(opts, "bf16", False) else jnp.float32
         driven = jnp.asarray(D01 * 2 - 1, dt)
         target_t = jnp.asarray(T01 * 2 - 1, dt)
-        d_onehot = jnp.asarray(
-            label_map_to_onehot(D_mask[None, None], opts.num_seg_cls), dt
-        )
-        t_onehot = jnp.asarray(
-            label_map_to_onehot(T_mask[None, None], opts.num_seg_cls), dt
-        )
-        s_onehot = jnp.asarray(
-            label_map_to_onehot(swapped_msk[None, None], opts.num_seg_cls), dt
-        )
+        # upload 1-byte label maps; the core builds the one-hots on device
+        # (a [1,12,1024,1024] f32 one-hot is ~50 MB over the tunnel)
+        d_labels = jnp.asarray(D_mask[None, None].astype(np.int32))
+        t_labels = jnp.asarray(T_mask[None, None].astype(np.int32))
+        s_labels = jnp.asarray(swapped_msk[None, None].astype(np.int32))
 
         # (3)+(5) one jitted core
         swapped_face = self._swap_core(
-            self.variables, driven, target_t, d_onehot, t_onehot, s_onehot,
+            self.variables, driven, target_t, d_labels, t_labels, s_labels,
             self.latent_avg,
         )
 
@@ -239,7 +266,8 @@ class FaceSwapper:
 
     # ------------------------- batched API ------------------------------
 
-    def swap_batch(self, source_arrays, target_arrays, target_masks=None):
+    def swap_batch(self, source_arrays, target_arrays, target_masks=None,
+                   chunk: int = 8):
         """Batched swap of N (source, target) pairs in one device pass.
 
         BASELINE config #5: batched CelebAMask-HQ swap throughput with the
@@ -257,6 +285,40 @@ class FaceSwapper:
             if self.restorer is not None:
                 D01 = self.restorer(D01)
 
+        if target_masks is None and self._swap_e2e is not None:
+            # fused device path in fixed-size chunks with one-chunk upload
+            # lookahead: jax.device_put and the jitted dispatch are async, so
+            # chunk i+1's (slow, ~20 MB/s tunnel) upload overlaps chunk i's
+            # compute — the input pipeline runs ahead of the TPU
+            n = D01.shape[0]
+            chunk = min(chunk, n)
+            pad = (-n) % chunk  # pad the tail to keep one compiled shape
+
+            def put(lo):
+                hi = min(lo + chunk, n)
+                s = np.clip(D01[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                t = np.clip(T01[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                if hi - lo < chunk:
+                    rep = chunk - (hi - lo)
+                    s = np.concatenate([s, s[-1:].repeat(rep, 0)])
+                    t = np.concatenate([t, t[-1:].repeat(rep, 0)])
+                return jax.device_put(s), jax.device_put(t)
+
+            outs = []
+            cur = put(0)
+            for lo in range(0, n, chunk):
+                nxt = put(lo + chunk) if lo + chunk < n else None
+                out_u8, _, _ = self._swap_e2e(
+                    self.variables, self.parser.variables,
+                    cur[0], cur[1], self.latent_avg,
+                )
+                outs.append(out_u8)
+                cur = nxt
+            res = np.concatenate(
+                [np.asarray(o, np.float32) for o in outs]
+            ) / 255.0
+            return res[:n]
+
         D_masks = self._parse12(D01)
         T_masks = (
             self._parse12(T01) if target_masks is None else target_masks
@@ -270,15 +332,15 @@ class FaceSwapper:
         swapped_msk = np.stack(swapped)
         hole_map = np.stack(holes)
 
-        driven = jnp.asarray(D01 * 2 - 1)
-        target_t = jnp.asarray(T01 * 2 - 1)
-        d_oh = jnp.asarray(label_map_to_onehot(D_masks[:, None], opts.num_seg_cls))
-        t_oh = jnp.asarray(label_map_to_onehot(T_masks[:, None], opts.num_seg_cls))
-        s_oh = jnp.asarray(
-            label_map_to_onehot(swapped_msk[:, None], opts.num_seg_cls)
-        )
+        dt = jnp.bfloat16 if getattr(opts, "bf16", False) else jnp.float32
+        driven = jnp.asarray(D01 * 2 - 1, dt)
+        target_t = jnp.asarray(T01 * 2 - 1, dt)
         faces = self._swap_core(
-            self.variables, driven, target_t, d_oh, t_oh, s_oh, self.latent_avg
+            self.variables, driven, target_t,
+            jnp.asarray(np.asarray(D_masks)[:, None].astype(np.int32)),
+            jnp.asarray(np.asarray(T_masks)[:, None].astype(np.int32)),
+            jnp.asarray(swapped_msk[:, None].astype(np.int32)),
+            self.latent_avg,
         )
         stitched = self._stitch(
             faces, target_t,
@@ -286,7 +348,7 @@ class FaceSwapper:
             jnp.asarray(hole_map[:, None].astype(np.int32)),
             outer_dilation=5,
         )
-        return np.clip((np.asarray(stitched) + 1) / 2, 0, 1)
+        return np.clip((np.asarray(stitched, np.float32) + 1) / 2, 0, 1)
 
 
 def faceSwapping_pipeline(

@@ -60,9 +60,135 @@ def swap_style_vectors_device(
     return sv
 
 
-def make_swap_core(net: Net3):
+def swap_head_mask_device(source, target, hair_first: bool = True):
+    """jnp twin of utils.swap_mask.swap_head_mask (same sequential overwrite
+    semantics; ref: src/utils/swap_face_mask.py:33-83). Pure elementwise, so
+    it fuses into the e2e swap program instead of a host round-trip.
+
+    source/target: int label maps [..., H, W]. Returns (swapped, hole_map).
+    """
+    PLACEHOLDER = 99
+    res = jnp.zeros_like(target)
+    res = jnp.where(target == 0, PLACEHOLDER, res)
+    res = jnp.where(target == 8, 8, res)    # neck
+    res = jnp.where(target == 7, 7, res)    # ear
+    res = jnp.where(target == 11, 11, res)  # ear_rings
+    if hair_first:
+        res = jnp.where(target == 4, 4, res)
+    for cls in (1, 2, 3, 5, 6, 9):  # lip, brows, eyes, nose, skin, mouth
+        res = jnp.where((source == cls) & (res != PLACEHOLDER), cls, res)
+    if not hair_first:
+        res = jnp.where(target == 4, 4, res)
+    res = jnp.where(target == 10, 10, res)  # eye_glass of target
+    # hole handling: when res has no zeros the where is a no-op and hole_map
+    # is all-zero — exactly the numpy branch semantics
+    hole_map = (255 * (res == 0)).astype(res.dtype)
+    res = jnp.where(res == 0, 6, res)  # fill with skin
+    res = jnp.where(res == PLACEHOLDER, 0, res)
+    return res, hole_map
+
+
+# face-parsing.PyTorch 19-cls -> detailed 12-cls, as a gather LUT
+# (ref: src/datasets/dataset.py:60-108; mirrors
+# datasets.dataset.ffhq_mask_to_faceparser_mask_detailed)
+_SEG19_TO12 = [0] * 19
+for _srcs, _dst in [
+    ([12, 13], 1), ([2, 3], 2), ([4, 5], 3), ([17], 4), ([10], 5),
+    ([1], 6), ([7, 8], 7), ([14], 8), ([11], 9), ([6], 10), ([9], 11),
+]:
+    for _s in _srcs:
+        _SEG19_TO12[_s] = _dst
+
+
+def seg19_to_12_device(seg19):
+    """19-cls labels -> detailed 12-cls on device (one gather)."""
+    lut = jnp.asarray(_SEG19_TO12, dtype=seg19.dtype)
+    return lut[seg19]
+
+
+def make_swap_e2e(net: Net3, parser_model, parser_size: int = 512):
+    """Single-program end-to-end swap: uint8 images in, uint8 image out.
+
+    The axon host<->device link runs ~20 MB/s, so the e2e swap is transfer
+    bound unless everything between the two images and the final pixel lives
+    on device. This fuses: normalize -> BiSeNet parse (both faces, one
+    batched pass) -> 19->12 LUT -> mask swap -> style extraction (batched)
+    -> texture swap -> masked synthesis -> feathered stitch -> uint8.
+
+    Returns fn(variables, parser_variables, src_u8, tgt_u8, latent_avg)
+    -> (uint8 image [B,3,S,S], swapped 12-cls labels [B,1,h,w], hole map).
+    src_u8/tgt_u8: [B,3,S,S] uint8 (or float in [0,1]).
+    """
+    from e4s_tpu.models.bisenet import SEG_MEAN, SEG_STD, bicubic_downsample
+
+    def _to01(img):
+        if img.dtype == jnp.uint8:
+            return img.astype(jnp.float32) / 255.0
+        return img
+
+    def swap_e2e(variables, parser_variables, src, tgt, latent_avg):
+        B = src.shape[0]
+        img01 = jnp.concatenate([_to01(src), _to01(tgt)], axis=0)
+
+        # BiSeNet parse at 512^2 (ref: face_parsing_demo.py:127-209)
+        if img01.shape[-1] >= parser_size:
+            pim = bicubic_downsample(img01, img01.shape[-1] // parser_size)
+        else:
+            pim = bilinear_resize(img01, (parser_size, parser_size))
+        pim = jnp.clip(pim, 0.0, 1.0)
+        pim = (pim - jnp.asarray(SEG_MEAN)) / jnp.asarray(SEG_STD)
+        seg_out, _, _ = parser_model.apply(parser_variables, pim)
+        seg12 = seg19_to_12_device(
+            jnp.argmax(seg_out, axis=1).astype(jnp.int32)
+        )
+        d_label, t_label = seg12[:B], seg12[B:]
+        swapped_label, hole_map = swap_head_mask_device(d_label, t_label)
+
+        dt = latent_avg.dtype
+        cls = jnp.arange(net.num_seg_cls, dtype=jnp.int32)[None, :, None, None]
+        d_oh = (d_label[:, None] == cls).astype(dt)
+        t_oh = (t_label[:, None] == cls).astype(dt)
+        s_oh = (swapped_label[:, None] == cls).astype(dt)
+
+        imgs = (img01 * 2.0 - 1.0).astype(dt)
+        sv, _ = net.apply(
+            variables,
+            imgs,
+            jnp.concatenate([d_oh, t_oh], axis=0),
+            method=Net3.get_style_vectors,
+        )
+        driven_sv, target_sv = sv[:B], sv[B:]
+        swapped_sv = swap_style_vectors_device(target_sv, driven_sv)
+        codes = net.apply(
+            variables, swapped_sv, latent_avg, method=Net3.cal_style_codes
+        )
+        struc = jnp.zeros((B, 512, 32, 32), dt)
+        face, _, _ = net.apply(
+            variables, struc, codes, s_oh,
+            method=Net3.gen_img, randomize_noise=False,
+        )
+
+        stitched = stitch_foreground(
+            face, imgs[B:], swapped_label[:, None],
+            hole_map[:, None].astype(jnp.int32),
+        )
+        # truncating cast matches utils.img_utils.tensor2im exactly
+        out01 = jnp.clip((stitched.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+        out_u8 = (out01 * 255.0).astype(jnp.uint8)
+        return out_u8, swapped_label, hole_map
+
+    return swap_e2e
+
+
+def make_swap_core(net: Net3, from_labels: bool = False):
     """Returns swap_core(variables, driven, target, driven_onehot,
-    target_onehot, swapped_onehot, latent_avg) -> swapped face [B,3,S,S]."""
+    target_onehot, swapped_onehot, latent_avg) -> swapped face [B,3,S,S].
+
+    With ``from_labels`` the three mask arguments are integer label maps
+    [B,1,H,W] and the one-hots are built on device — a [B,1,1024,1024] uint8
+    upload is ~1 MB vs ~50 MB for a [B,12,1024,1024] f32 one-hot, and the
+    host->device link (a tunnel on this deployment) is the e2e bottleneck.
+    """
 
     def swap_core(
         variables,
@@ -73,12 +199,24 @@ def make_swap_core(net: Net3):
         swapped_onehot,
         latent_avg,
     ):
-        driven_sv, _ = net.apply(
-            variables, driven, driven_onehot, method=Net3.get_style_vectors
+        if from_labels:
+            R = net.num_seg_cls
+            cls = jnp.arange(R, dtype=jnp.int32)[None, :, None, None]
+            dt = driven.dtype
+            driven_onehot = (driven_onehot == cls).astype(dt)
+            target_onehot = (target_onehot == cls).astype(dt)
+            swapped_onehot = (swapped_onehot == cls).astype(dt)
+        # one batched encoder pass for both faces (the encoder is strictly
+        # per-sample: InstanceNorm + masked pooling), halving dispatches and
+        # doubling the 256^2 trunk's batch utilisation
+        nb = driven.shape[0]
+        sv, _ = net.apply(
+            variables,
+            jnp.concatenate([driven, target], axis=0),
+            jnp.concatenate([driven_onehot, target_onehot], axis=0),
+            method=Net3.get_style_vectors,
         )
-        target_sv, _ = net.apply(
-            variables, target, target_onehot, method=Net3.get_style_vectors
-        )
+        driven_sv, target_sv = sv[:nb], sv[nb:]
         swapped_sv = swap_style_vectors_device(target_sv, driven_sv)
         codes = net.apply(
             variables, swapped_sv, latent_avg, method=Net3.cal_style_codes

@@ -292,3 +292,48 @@ def test_bf16_quality_gate():
     rel = float(np.sqrt(mse) / np.std(out32))
     assert psnr >= 40.0, f"bf16 PSNR degraded: {psnr:.1f} dB"
     assert rel <= 0.03, f"bf16 relative RMSE degraded: {rel:.4f}"
+
+
+def test_swap_head_mask_device_matches_host():
+    from e4s_tpu.pipelines.swap_core import swap_head_mask_device
+    from e4s_tpu.utils.swap_mask import swap_head_mask
+
+    rng = np.random.RandomState(0)
+    for hair_first in (True, False):
+        for _ in range(3):
+            src = rng.randint(0, 12, (64, 64)).astype(np.int32)
+            tgt = rng.randint(0, 12, (64, 64)).astype(np.int32)
+            want_res, want_hole = swap_head_mask(src, tgt, hair_first)
+            got_res, got_hole = swap_head_mask_device(
+                jnp.asarray(src), jnp.asarray(tgt), hair_first
+            )
+            np.testing.assert_array_equal(np.asarray(got_res), want_res)
+            np.testing.assert_array_equal(np.asarray(got_hole), want_hole)
+
+
+def test_seg19_to_12_device_matches_host():
+    from e4s_tpu.datasets.dataset import ffhq_mask_to_faceparser_mask_detailed
+    from e4s_tpu.pipelines.swap_core import seg19_to_12_device
+
+    rng = np.random.RandomState(1)
+    seg = rng.randint(0, 19, (2, 32, 32)).astype(np.int32)
+    want = np.stack([ffhq_mask_to_faceparser_mask_detailed(s) for s in seg])
+    got = np.asarray(seg19_to_12_device(jnp.asarray(seg)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_e2e_matches_staged(tmp_path):
+    """The single-program uint8 path must reproduce the staged path."""
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    opts = small_swap_opts(tmp_path)
+    swapper = FaceSwapper(opts)  # real (random-init) BiSeNet parser
+    rng = np.random.RandomState(0)
+    S01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
+    T01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
+    fused = np.asarray(swapper.swap_from_arrays(S01, T01))
+    # verbose=True (with no save_dir) forces the staged host path
+    staged = np.asarray(swapper.swap_from_arrays(S01, T01, verbose=True))
+    assert fused.shape == staged.shape
+    diff = np.abs(fused.astype(np.int32) - staged.astype(np.int32))
+    assert diff.max() <= 2, f"fused vs staged max px diff {diff.max()}"
