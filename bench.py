@@ -1,10 +1,11 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Covers the BASELINE.md rebuild configs:
-  #1 end-to-end face swap on the example pair (BiSeNet parse x2 + host mask
-     swap + jitted swap core + stitch)              -> PRIMARY metric
+  #1 end-to-end face swap on the example pair (single fused device program:
+     parse x2 + mask swap + swap core + stitch)     -> PRIMARY metric
+  #2 face_edit hair+eyes alpha sweep                -> edit_sweep_edits_per_sec
   #4 optimization (inversion) refinement            -> inversion_iters_per_sec
-  #5 batched 64-image swap throughput               -> batch64_swaps_per_sec
+  #5 batched 64-image swap throughput (pipelined)   -> batch64_swaps_per_sec
 plus the core-only number (style extraction x2 + texture swap + synthesis)
 kept from round 1 as a secondary line.
 
@@ -186,6 +187,31 @@ def _bench_batch64(swapper):
     return n / dt, chunk
 
 
+def _bench_edit_sweep(n_alphas: int = 8):
+    """face_edit hair+eyes alpha sweep, edits/sec (BASELINE config #2)."""
+    import types as _t
+
+    from e4s_tpu.pipelines.face_edit import Editor
+
+    opts = _t.SimpleNamespace(
+        num_seg_cls=12, out_size=OUT_SIZE, remaining_layer_idx=13,
+        n_styles=18, start_from_latent_avg=True, learn_in_w=False,
+        train_G=False, checkpoint_path=None, bf16=BF16,
+        regions=["hair", "eyes"], alpha=1.0,
+        source=os.path.join(EXAMPLE_DIR, "source.jpg"),
+        target=os.path.join(EXAMPLE_DIR, "target.jpg"),
+        reference=os.path.join(EXAMPLE_DIR, "target.jpg"),
+        output_dir="/tmp/e4s_tpu_bench_edit",
+    )
+    editor = Editor(opts)
+    alphas = list(np.linspace(0.0, 1.0, n_alphas))
+    editor.interpolation_sweep(alphas)  # compile + warmup
+    t0 = time.perf_counter()
+    editor.interpolation_sweep(alphas)
+    dt = time.perf_counter() - t0
+    return n_alphas / dt
+
+
 def _bench_inversion(steps):
     """Scanned 200-step latent refinement, iters/sec (config #4)."""
     from e4s_tpu.pipelines.optimization import Optimizer
@@ -321,6 +347,12 @@ def main():
             print(f"[bench] batch64 failed: {type(e).__name__}: {e}")
     del swapper
 
+    edit_eps = None
+    try:
+        edit_eps = _bench_edit_sweep()
+    except Exception as e:
+        print(f"[bench] edit sweep failed: {type(e).__name__}: {e}")
+
     inv_ips = None
     try:
         inv_ips = _bench_inversion(INVERSION_STEPS)
@@ -348,6 +380,7 @@ def main():
         "core_swaps_per_sec": round(core_sps, 4),
         "core_p50_latency_ms": round(core_p50 * 1000, 2),
         "inversion_iters_per_sec": round(inv_ips, 2) if inv_ips else None,
+        "edit_sweep_edits_per_sec": round(edit_eps, 3) if edit_eps else None,
         "batch64_swaps_per_sec": (
             round(batch64_sps, 4) if batch64_sps else None
         ),

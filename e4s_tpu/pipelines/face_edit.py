@@ -80,6 +80,78 @@ class Editor:
 
         self._edit_core = jax.jit(edit_core)
 
+        def edit_sweep_core(variables, parser_variables, src_u8, ref_u8,
+                            alphas, latent_avg, noise):
+            """Fused parse + A-way alpha-sweep edit: uint8 in, uint8 out.
+
+            alphas: [A, R] per-region interpolation weights; the A edited
+            images are synthesised as one batch (one upload of each image,
+            one download of all results — the host<->device link is the
+            bottleneck, see swap_core.make_swap_e2e).
+            """
+            from e4s_tpu.pipelines.swap_core import _img_to01, parse12_device
+
+            img01 = jnp.concatenate(
+                [_img_to01(src_u8), _img_to01(ref_u8)], axis=0
+            )
+            labels = parse12_device(parser_model, parser_variables, img01)
+            dt = latent_avg.dtype
+            cls = jnp.arange(net.num_seg_cls, dtype=jnp.int32)[
+                None, :, None, None
+            ]
+            oh = (labels[:, None] == cls).astype(dt)
+            imgs = (img01 * 2.0 - 1.0).astype(dt)
+            sv, _ = net.apply(
+                variables, imgs, oh, method=Net3.get_style_vectors
+            )
+            src_sv, ref_sv = sv[:1], sv[1:]
+            a = alphas[:, :, None].astype(dt)  # [A, R, 1]
+            mixed = (1.0 - a) * src_sv + a * ref_sv  # [A, R, 1280]
+            codes = net.apply(
+                variables, mixed, latent_avg, method=Net3.cal_style_codes
+            )
+            A = alphas.shape[0]
+            src_oh = jnp.broadcast_to(oh[:1], (A,) + oh.shape[1:])
+            struc = jnp.zeros((A, 512, 32, 32), dt)
+            img, _, _ = net.apply(
+                variables, struc, codes, src_oh,
+                method=Net3.gen_img, randomize_noise=False, noise=noise,
+            )
+            out01 = jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+            return (out01 * 255.0).astype(jnp.uint8)
+
+        parser_model = getattr(self.parser, "model", None)
+        self._edit_sweep_core = (
+            jax.jit(edit_sweep_core) if parser_model is not None else None
+        )
+
+    def interpolation_sweep(self, alpha_values: Sequence[float]):
+        """Sweep opts.alpha over ``alpha_values`` for opts.regions in ONE
+        fused device program (BASELINE bench config #2). Returns a list of
+        PIL images, one per alpha."""
+        from PIL import Image
+
+        def load_u8(path):
+            S = self.opts.out_size
+            img = Image.open(path).convert("RGB").resize((S, S))
+            return jnp.asarray(
+                np.transpose(np.asarray(img, np.uint8), (2, 0, 1))[None]
+            )
+
+        A = len(alpha_values)
+        alphas = np.zeros((A, self.opts.num_seg_cls), np.float32)
+        for region in self.opts.regions:
+            alphas[:, COMP2INDEX[region]] = np.asarray(alpha_values)
+        out_u8 = self._edit_sweep_core(
+            self.variables, self.parser.variables,
+            load_u8(self.opts.source), load_u8(self.opts.reference),
+            jnp.asarray(alphas), self.latent_avg, self.noise,
+        )
+        arr = np.asarray(out_u8)
+        return [
+            Image.fromarray(np.transpose(arr[i], (1, 2, 0))) for i in range(A)
+        ]
+
     def _prep(self, path):
         from PIL import Image
 

@@ -106,6 +106,30 @@ def seg19_to_12_device(seg19):
     return lut[seg19]
 
 
+def parse12_device(parser_model, parser_variables, img01, parser_size=512):
+    """BiSeNet parse + 19->12 conversion, fully on device.
+
+    img01: [B,3,S,S] float in [0,1] -> int32 12-cls labels [B,ps,ps].
+    ref: face_parsing_demo.py:127-209.
+    """
+    from e4s_tpu.models.bisenet import SEG_MEAN, SEG_STD, bicubic_downsample
+
+    if img01.shape[-1] >= parser_size:
+        pim = bicubic_downsample(img01, img01.shape[-1] // parser_size)
+    else:
+        pim = bilinear_resize(img01, (parser_size, parser_size))
+    pim = jnp.clip(pim, 0.0, 1.0)
+    pim = (pim - jnp.asarray(SEG_MEAN)) / jnp.asarray(SEG_STD)
+    seg_out, _, _ = parser_model.apply(parser_variables, pim)
+    return seg19_to_12_device(jnp.argmax(seg_out, axis=1).astype(jnp.int32))
+
+
+def _img_to01(img):
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img
+
+
 def make_swap_e2e(net: Net3, parser_model, parser_size: int = 512):
     """Single-program end-to-end swap: uint8 images in, uint8 image out.
 
@@ -119,27 +143,11 @@ def make_swap_e2e(net: Net3, parser_model, parser_size: int = 512):
     -> (uint8 image [B,3,S,S], swapped 12-cls labels [B,1,h,w], hole map).
     src_u8/tgt_u8: [B,3,S,S] uint8 (or float in [0,1]).
     """
-    from e4s_tpu.models.bisenet import SEG_MEAN, SEG_STD, bicubic_downsample
-
-    def _to01(img):
-        if img.dtype == jnp.uint8:
-            return img.astype(jnp.float32) / 255.0
-        return img
-
     def swap_e2e(variables, parser_variables, src, tgt, latent_avg):
         B = src.shape[0]
-        img01 = jnp.concatenate([_to01(src), _to01(tgt)], axis=0)
-
-        # BiSeNet parse at 512^2 (ref: face_parsing_demo.py:127-209)
-        if img01.shape[-1] >= parser_size:
-            pim = bicubic_downsample(img01, img01.shape[-1] // parser_size)
-        else:
-            pim = bilinear_resize(img01, (parser_size, parser_size))
-        pim = jnp.clip(pim, 0.0, 1.0)
-        pim = (pim - jnp.asarray(SEG_MEAN)) / jnp.asarray(SEG_STD)
-        seg_out, _, _ = parser_model.apply(parser_variables, pim)
-        seg12 = seg19_to_12_device(
-            jnp.argmax(seg_out, axis=1).astype(jnp.int32)
+        img01 = jnp.concatenate([_img_to01(src), _img_to01(tgt)], axis=0)
+        seg12 = parse12_device(
+            parser_model, parser_variables, img01, parser_size
         )
         d_label, t_label = seg12[:B], seg12[B:]
         swapped_label, hole_map = swap_head_mask_device(d_label, t_label)

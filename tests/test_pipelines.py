@@ -337,3 +337,26 @@ def test_fused_e2e_matches_staged(tmp_path):
     assert fused.shape == staged.shape
     diff = np.abs(fused.astype(np.int32) - staged.astype(np.int32))
     assert diff.max() <= 2, f"fused vs staged max px diff {diff.max()}"
+
+
+def test_edit_sweep_runs_and_shapes(tmp_path):
+    """Fused alpha-sweep edit (real random-init parser): A alphas in one
+    device program -> A images."""
+    from e4s_tpu.pipelines.face_edit import Editor
+
+    src, ref = _write_test_images(tmp_path)
+    opts = types.SimpleNamespace(
+        num_seg_cls=12, out_size=64, remaining_layer_idx=7, n_styles=10,
+        start_from_latent_avg=True, learn_in_w=False, train_G=False,
+        checkpoint_path=None, regions=["hair", "eyes"], alpha=0.7,
+        source=src, reference=ref, output_dir=str(tmp_path),
+    )
+    editor = Editor(opts)
+    outs = editor.interpolation_sweep([0.0, 0.5, 1.0])
+    assert len(outs) == 3
+    assert all(o.size == (64, 64) for o in outs)
+    # alpha=0 keeps the source texture; alpha=1 uses the reference's —
+    # endpoints must differ unless the textures coincide
+    a0 = np.asarray(outs[0], np.int32)
+    a1 = np.asarray(outs[2], np.int32)
+    assert np.abs(a0 - a1).max() > 0
