@@ -24,16 +24,20 @@ from e4s_tpu.ops.resize import adaptive_avg_pool2d
 
 
 class PReLU(nn.Module):
-    """Per-channel PReLU over the channel axis (axis 1)."""
+    """Per-channel PReLU over the channel axis (axis 1, or -1 for NHWC)."""
 
     channel: int
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
         w = self.param(
             "weight", lambda key: jnp.full((self.channel,), 0.25, jnp.float32)
         ).astype(x.dtype)
-        w = w.reshape((1, -1) + (1,) * (x.ndim - 2))
+        if self.channels_last:
+            w = w.reshape((1,) * (x.ndim - 1) + (-1,))
+        else:
+            w = w.reshape((1, -1) + (1,) * (x.ndim - 2))
         return jnp.maximum(x, 0) + w * jnp.minimum(x, 0)
 
 
@@ -41,10 +45,12 @@ class InstanceNorm(nn.Module):
     """torch InstanceNorm2d defaults: affine=False, eps=1e-5 (no params)."""
 
     eps: float = 1e-5
+    channels_last: bool = False
 
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-        var = jnp.var(x, axis=(-2, -1), keepdims=True)
+        axes = (-3, -2) if self.channels_last else (-2, -1)
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + self.eps)
 
 
@@ -59,6 +65,7 @@ class FrozenBatchNorm(nn.Module):
     channel: int
     eps: float = 1e-5
     affine: bool = True
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +75,10 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable(
             "batch_stats", "running_var", jnp.ones, (self.channel,)
         ).value
-        shape = (1, -1) + (1,) * (x.ndim - 2)
+        if self.channels_last:
+            shape = (1,) * (x.ndim - 1) + (-1,)
+        else:
+            shape = (1, -1) + (1,) * (x.ndim - 2)
         y = (x - mean.reshape(shape)) * jax.lax.rsqrt(
             var.reshape(shape) + self.eps
         )
@@ -87,12 +97,13 @@ class Conv(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
         from e4s_tpu.ops import conv as convops
 
-        in_channel = x.shape[1]
+        in_channel = x.shape[-1] if self.channels_last else x.shape[1]
         fan_in = in_channel * self.kernel_size**2
         bound = 1.0 / math.sqrt(fan_in)
         weight = self.param(
@@ -108,7 +119,8 @@ class Conv(nn.Module):
             else None
         )
         return convops.conv2d(
-            x, weight, bias=bias, stride=self.stride, padding=self.padding
+            x, weight, bias=bias, stride=self.stride, padding=self.padding,
+            channels_last=self.channels_last,
         )
 
 
@@ -117,13 +129,19 @@ class SEModule(nn.Module):
 
     channels: int
     reduction: int = 16
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
-        s = jnp.mean(x, axis=(-2, -1), keepdims=True)
-        s = Conv(self.channels // self.reduction, 1, use_bias=False, name="fc1")(s)
+        cl = self.channels_last
+        axes = (-3, -2) if cl else (-2, -1)
+        s = jnp.mean(x, axis=axes, keepdims=True)
+        s = Conv(
+            self.channels // self.reduction, 1, use_bias=False,
+            channels_last=cl, name="fc1",
+        )(s)
         s = jax.nn.relu(s)
-        s = Conv(self.channels, 1, use_bias=False, name="fc2")(s)
+        s = Conv(self.channels, 1, use_bias=False, channels_last=cl, name="fc2")(s)
         return x * jax.nn.sigmoid(s)
 
 
@@ -138,33 +156,43 @@ class BottleneckIRSE(nn.Module):
     stride: int
     norm: str = "bn"  # "bn" | "in"
     use_se: bool = True
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
+        cl = self.channels_last
+
         def mk_norm(channel, name):
             if self.norm == "in":
-                return InstanceNorm()
-            return FrozenBatchNorm(channel, name=name)
+                return InstanceNorm(channels_last=cl)
+            return FrozenBatchNorm(channel, channels_last=cl, name=name)
 
         if self.in_channel == self.depth:
-            shortcut = x[:, :, :: self.stride, :: self.stride]  # MaxPool2d(1, s)
+            # MaxPool2d(1, s)
+            if cl:
+                shortcut = x[:, :: self.stride, :: self.stride, :]
+            else:
+                shortcut = x[:, :, :: self.stride, :: self.stride]
         else:
             shortcut = Conv(
                 self.depth, 1, stride=self.stride, use_bias=False,
-                name="shortcut_conv",
+                channels_last=cl, name="shortcut_conv",
             )(x)
             shortcut = mk_norm(self.depth, "shortcut_norm")(shortcut)
 
         res = mk_norm(self.in_channel, "res_norm1")(x)
-        res = Conv(self.depth, 3, padding=1, use_bias=False, name="res_conv1")(res)
-        res = PReLU(self.depth, name="res_prelu")(res)
+        res = Conv(
+            self.depth, 3, padding=1, use_bias=False, channels_last=cl,
+            name="res_conv1",
+        )(res)
+        res = PReLU(self.depth, channels_last=cl, name="res_prelu")(res)
         res = Conv(
             self.depth, 3, stride=self.stride, padding=1, use_bias=False,
-            name="res_conv2",
+            channels_last=cl, name="res_conv2",
         )(res)
         res = mk_norm(self.depth, "res_norm2")(res)
         if self.use_se:
-            res = SEModule(self.depth, 16, name="res_se")(res)
+            res = SEModule(self.depth, 16, channels_last=cl, name="res_se")(res)
         return res + shortcut
 
 
@@ -197,27 +225,40 @@ class FSEncoderPSP(nn.Module):
     """
 
     num_seg_cls: int = 12
+    # NHWC trunk: input x is [B,256,256,3]; segmap stays [B,R,H,W] and the
+    # returned structure_feats stay NCHW-shaped (zeros; layout-free API)
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x, segmap):
-        x = Conv(64, 3, padding=1, use_bias=False, name="input_conv")(x)
-        x = InstanceNorm()(x)
-        x = PReLU(64, name="input_prelu")(x)
+        cl = self.channels_last
+        x = Conv(
+            64, 3, padding=1, use_bias=False, channels_last=cl,
+            name="input_conv",
+        )(x)
+        x = InstanceNorm(channels_last=cl)(x)
+        x = PReLU(64, channels_last=cl, name="input_prelu")(x)
 
         taps = {}
         for i, (in_c, depth, stride) in enumerate(fsencoder_blocks()):
             x = BottleneckIRSE(
-                in_c, depth, stride, norm="in", name=f"body_{i}"
+                in_c, depth, stride, norm="in", channels_last=cl,
+                name=f"body_{i}",
             )(x)
             if i in (6, 20, 23):
                 taps[i] = x
 
-        structure_feats = jnp.zeros_like(x)
+        if cl:
+            structure_feats = jnp.zeros(
+                (x.shape[0], x.shape[3], x.shape[1], x.shape[2]), x.dtype
+            )
+        else:
+            structure_feats = jnp.zeros_like(x)
         codes = jnp.concatenate(
             [
-                masked_region_mean(taps[6], segmap),
-                masked_region_mean(taps[20], segmap),
-                masked_region_mean(taps[23], segmap),
+                masked_region_mean(taps[6], segmap, channels_last=cl),
+                masked_region_mean(taps[20], segmap, channels_last=cl),
+                masked_region_mean(taps[23], segmap, channels_last=cl),
             ],
             axis=-1,
         )

@@ -60,7 +60,9 @@ class Net3(nn.Module):
     channels_last: bool = False
 
     def setup(self):
-        self.encoder = FSEncoderPSP(self.num_seg_cls, name="encoder")
+        self.encoder = FSEncoderPSP(
+            self.num_seg_cls, channels_last=self.channels_last, name="encoder"
+        )
         num_w = self.remaining_layer_idx if self.remaining_layer_idx != 17 else 18
         self.MLPs = [
             LocalMLP(DIM_S_CODE, 512, num_w, name=f"MLPs_{i}")
@@ -93,8 +95,7 @@ class Net3(nn.Module):
         img: [B,3,S,S] in [-1,1]; mask: [B,R,S,S] one-hot.
         ref: src/models/networks.py:85-119
         """
-        img256 = bilinear_resize(img, (256, 256))
-        codes_vector, structure_feats = self.encoder(img256, mask)
+        codes_vector, structure_feats = self._encode(img, mask)
         style_codes = self._codes_to_styles(codes_vector, latent_avg)
         images, result_latent, structure_feats_gt = self.G(
             [style_codes],
@@ -112,7 +113,14 @@ class Net3(nn.Module):
 
     def get_style_vectors(self, img, mask):
         """[B,3,S,S] -> ([B,R,1280], zeros). ref: networks.py:121-133"""
+        return self._encode(img, mask)
+
+    def _encode(self, img, mask):
+        """Resize to 256² and run the RGI encoder (NHWC trunk when
+        ``channels_last``; public I/O stays NCHW either way)."""
         img256 = bilinear_resize(img, (256, 256))
+        if self.channels_last:
+            img256 = jnp.transpose(img256, (0, 2, 3, 1))
         return self.encoder(img256, mask)
 
     def cal_style_codes(self, style_vectors, latent_avg=None):

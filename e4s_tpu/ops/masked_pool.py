@@ -16,12 +16,13 @@ from e4s_tpu.ops.resize import nearest_resize
 
 
 def masked_region_mean(
-    feats: jnp.ndarray, segmap: jnp.ndarray, eps: float = 0.0
+    feats: jnp.ndarray, segmap: jnp.ndarray, eps: float = 0.0,
+    channels_last: bool = False,
 ) -> jnp.ndarray:
     """Per-region mean of feature vectors.
 
     Args:
-      feats:  [B, F, H, W] feature map.
+      feats:  [B, F, H, W] feature map ([B, H, W, F] when ``channels_last``).
       segmap: [B, R, H', W'] one-hot region masks; nearest-resized to (H, W)
               (torch convention) before pooling.
       eps:    stabiliser added to the per-region pixel count. The reference
@@ -31,10 +32,16 @@ def masked_region_mean(
     Returns:
       [B, R, F] per-region mean features; exactly 0 for empty regions.
     """
-    B, F, H, W = feats.shape
+    if channels_last:
+        B, H, W, F = feats.shape
+    else:
+        B, F, H, W = feats.shape
     seg = nearest_resize(segmap, (H, W)).astype(feats.dtype)
     # sum_hw feats[b,f,h,w] * seg[b,r,h,w]
-    sums = jnp.einsum("bfhw,brhw->brf", feats, seg)
+    if channels_last:
+        sums = jnp.einsum("bhwf,brhw->brf", feats, seg)
+    else:
+        sums = jnp.einsum("bfhw,brhw->brf", feats, seg)
     counts = jnp.sum(seg, axis=(-2, -1))[..., None]  # [B,R,1]
     mean = sums / jnp.maximum(counts, 1.0)
     if eps:

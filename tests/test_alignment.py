@@ -7,6 +7,8 @@ quads whose QUAD transform degenerates to crop+resize, and perspective
 coefficient checks via the projective mapping formula.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -236,3 +238,37 @@ def test_face_swapper_need_crop_with_landmarks(tmp_path):
     )
     # pasted back into the ORIGINAL frame -> original size, RGBA composite
     assert result.size == (1024, 1024)
+
+
+def test_ffhq_align_image_align(tmp_path):
+    """scripts/ffhq_align.image_align: FFHQ recipe (pad+feather variant of the
+    default cropper) produces the requested output size and stays in range."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ffhq_align",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "ffhq_align.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    src = tmp_path / "face.png"
+    Image.fromarray(rng.randint(0, 255, (800, 800, 3), np.uint8)).save(src)
+    lm = synthetic_landmarks()
+    out = mod.image_align(
+        str(src), str(tmp_path / "out.png"), lm,
+        output_size=128, transform_size=256,
+    )
+    assert out.size == (128, 128)
+    assert (tmp_path / "out.png").exists()
+    # landmarks near the image edge force the reflect-pad + feather path
+    lm_edge = synthetic_landmarks(
+        eye_l=(60, 60), eye_r=(260, 60), mouth_l=(100, 210), mouth_r=(220, 210)
+    )
+    out2 = mod.image_align(
+        str(src), None, lm_edge, output_size=128, transform_size=256,
+    )
+    assert out2.size == (128, 128)
