@@ -4,6 +4,7 @@ Covers the BASELINE.md rebuild configs:
   #1 end-to-end face swap on the example pair (single fused device program:
      parse x2 + mask swap + swap core + stitch)     -> PRIMARY metric
   #2 face_edit hair+eyes alpha sweep                -> edit_sweep_edits_per_sec
+  #3 SegNeXt parser + lap_bld + verbose (staged)    -> segnext_lapbld_swaps_per_sec
   #4 optimization (inversion) refinement            -> inversion_iters_per_sec
   #5 batched 64-image swap throughput (pipelined)   -> batch64_swaps_per_sec
 plus the core-only number (style extraction x2 + texture swap + synthesis)
@@ -212,6 +213,25 @@ def _bench_edit_sweep(n_alphas: int = 8):
     return n_alphas / dt
 
 
+def _bench_segnext_lapbld(iters):
+    """BASELINE config #3: face_swap with the SegNeXt parser + --lap_bld
+    multi-band blending + verbose visualizations (staged path)."""
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    opts = _swap_opts()
+    opts.faceParser_name = "segnext"
+    opts.segnext_config = "segnext.small.512x512.celebamaskhq.160k.py"
+    opts.lap_bld = True
+    save_dir = "/tmp/e4s_tpu_bench_cfg3"
+    swapper = FaceSwapper(opts)
+    S01, T01 = _load_example_pair()
+    swapper.swap_from_arrays(S01, T01, save_dir=save_dir, verbose=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        swapper.swap_from_arrays(S01, T01, save_dir=save_dir, verbose=True)
+    return iters / (time.perf_counter() - t0)
+
+
 def _bench_inversion(steps):
     """Scanned 200-step latent refinement, iters/sec (config #4)."""
     from e4s_tpu.pipelines.optimization import Optimizer
@@ -223,7 +243,8 @@ def _bench_inversion(steps):
         lpips_lambda=0.8, id_lambda=0.1, id_loss_multiscale=True,
         face_parsing_lambda=0.1, l2_lambda=1.0,
         opt_name="adam", lr=1e-2, W_steps=steps, save_interval=10**9,
-        output_dir="/tmp/e4s_tpu_bench_optim", bf16=False,
+        output_dir="/tmp/e4s_tpu_bench_optim",
+        bf16=os.environ.get("BENCH_INVERSION_BF16", "1" if BF16 else "0") == "1",
     )
     optimizer = Optimizer(opts)
     import jax.numpy as jnp
@@ -353,6 +374,13 @@ def main():
     except Exception as e:
         print(f"[bench] edit sweep failed: {type(e).__name__}: {e}")
 
+    cfg3_sps = None
+    if os.environ.get("BENCH_CFG3", "1") == "1":
+        try:
+            cfg3_sps = _bench_segnext_lapbld(max(2, ITERS // 3))
+        except Exception as e:
+            print(f"[bench] segnext+lap_bld failed: {type(e).__name__}: {e}")
+
     inv_ips = None
     try:
         inv_ips = _bench_inversion(INVERSION_STEPS)
@@ -380,6 +408,9 @@ def main():
         "core_swaps_per_sec": round(core_sps, 4),
         "core_p50_latency_ms": round(core_p50 * 1000, 2),
         "inversion_iters_per_sec": round(inv_ips, 2) if inv_ips else None,
+        "segnext_lapbld_swaps_per_sec": (
+            round(cfg3_sps, 4) if cfg3_sps else None
+        ),
         "edit_sweep_edits_per_sec": round(edit_eps, 3) if edit_eps else None,
         "batch64_swaps_per_sec": (
             round(batch64_sps, 4) if batch64_sps else None

@@ -252,6 +252,8 @@ class FaceParser:
     __call__(img01 [B,3,S,S] in [0,1]) -> [B,S512,S512] int32 19-cls labels.
     """
 
+    taxonomy = "ffhq19"  # face-parsing.PyTorch label order
+
     def __init__(self, variables=None, size: int = 1024, rng_seed: int = 0):
         self.size = size
         self.model = BiSeNet(n_classes=19)

@@ -153,7 +153,7 @@ class MSCAN(nn.Module):
             beta = self.param(f"norm{stage + 1}_bias", nn.initializers.zeros, (dim,))
             mean = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.var(x, axis=1, keepdims=True)
-            x = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)  # nn.LayerNorm eps
             x = x * gamma.reshape(1, -1, 1, 1) + beta.reshape(1, -1, 1, 1)
             feats.append(x)
         return feats
@@ -216,7 +216,8 @@ class Hamburger(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        enjoy = Conv(self.ham_channels, 1, use_bias=False, name="ham_in")(x)
+        # mmseg ConvModule(norm_cfg=None) keeps the conv bias -> ham_in biased
+        enjoy = Conv(self.ham_channels, 1, name="ham_in")(x)
         enjoy = jax.nn.relu(enjoy)
         B, C, H, W = enjoy.shape
         flat = enjoy.reshape(B, C, H * W)
@@ -278,6 +279,8 @@ class SegNeXtFaceParser:
     19-class labels (converted with the celebahq converter downstream, per
     ref: face_parsing_demo.py:200-207)."""
 
+    taxonomy = "celeba19"
+
     def __init__(self, variant="small", variables=None, seed=0, size=512):
         self.model = SegNeXt(variant=variant)
         self.size = size
@@ -290,12 +293,18 @@ class SegNeXtFaceParser:
         self._jit = jax.jit(self._forward)
 
     def _forward(self, variables, img01):
-        x = bilinear_resize(img01, (self.size, self.size)) * 255.0
-        mean = jnp.asarray(SEGNEXT_MEAN).reshape(1, 3, 1, 1)
-        std = jnp.asarray(SEGNEXT_STD).reshape(1, 3, 1, 1)
-        x = (x - mean) / std
-        logits = self.model.apply(variables, x)
-        return jnp.argmax(logits, axis=1).astype(jnp.int32)
+        return segnext_parse19_device(self.model, variables, img01, self.size)
 
     def __call__(self, img01):
         return self._jit(self.variables, img01)
+
+
+def segnext_parse19_device(model, variables, img01, size=512):
+    """Device-level SegNeXt parse: [B,3,S,S] in [0,1] -> int32 19-cls labels
+    (CelebA taxonomy). Traceable — reused by the fused swap program."""
+    x = bilinear_resize(img01, (size, size)) * 255.0
+    mean = jnp.asarray(SEGNEXT_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(SEGNEXT_STD).reshape(1, 3, 1, 1)
+    x = (x - mean) / std
+    logits = model.apply(variables, x)
+    return jnp.argmax(logits, axis=1).astype(jnp.int32)

@@ -39,6 +39,9 @@ class OptimOptions:
         # jointly optimize the generator's per-layer noise maps with the
         # style vector (ref: scripts/optimization.py:146-159 noise_init path)
         p.add_argument('--optimize_noise', action='store_true')
+        p.add_argument('--bf16', action='store_true',
+                       help='mixed-precision inversion: bf16 forward/loss, '
+                            'f32 theta + Adam moments')
         p.add_argument('--save_intermediate', action='store_true')
         p.add_argument('--verbose', action='store_true')
         p.add_argument('--save_interval', type=int, default=50)

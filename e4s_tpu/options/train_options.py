@@ -60,7 +60,9 @@ class TrainOptions:
         p.add_argument('--save_interval', default=10000 * 5 * 2, type=int)
         p.add_argument('--seed', default=0, type=int)
         p.add_argument('--bf16', action='store_true',
-                       help='bfloat16 activations (params stay fp32)')
+                       help='mixed-precision training: bf16 compute in the '
+                            'G/D steps, f32 master weights/optimizer/EMA '
+                            '(demod/accum and R1 stay f32)')
         p.add_argument('--channels_last', default=True,
                        type=lambda x: str(x).lower() != 'false',
                        help='NHWC synthesis internals (TPU-native; checkpoint-compatible either way)')

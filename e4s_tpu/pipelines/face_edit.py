@@ -94,7 +94,10 @@ class Editor:
             img01 = jnp.concatenate(
                 [_img_to01(src_u8), _img_to01(ref_u8)], axis=0
             )
-            labels = parse12_device(parser_model, parser_variables, img01)
+            labels = parse12_device(
+                parser_model, parser_variables, img01,
+                parser_size=parser_size, taxonomy=parser_taxonomy,
+            )
             dt = latent_avg.dtype
             cls = jnp.arange(net.num_seg_cls, dtype=jnp.int32)[
                 None, :, None, None
@@ -121,6 +124,11 @@ class Editor:
             return (out01 * 255.0).astype(jnp.uint8)
 
         parser_model = getattr(self.parser, "model", None)
+        parser_taxonomy = getattr(self.parser, "taxonomy", "ffhq19")
+        parser_size = (
+            getattr(self.parser, "size", 512)
+            if parser_taxonomy == "celeba19" else 512
+        )
         self._edit_sweep_core = (
             jax.jit(edit_sweep_core) if parser_model is not None else None
         )
@@ -166,9 +174,9 @@ class Editor:
         return timg, onehot
 
     def parse(self, arr01):
-        from e4s_tpu.models.bisenet import face_parsing_demo
+        from e4s_tpu.pipelines.swap_core import parse12_host
 
-        return face_parsing_demo(self.parser, jnp.asarray(arr01), True)
+        return parse12_host(self.parser, arr01)
 
     def interpolation(self):
         src, src_onehot = self._prep(self.opts.source)

@@ -59,7 +59,13 @@ class FaceSwapper:
         # Injected parser stand-ins without a .model (tests) use the staged
         # host path instead.
         self._swap_e2e = (
-            jax.jit(make_swap_e2e(self.net, self.parser.model))
+            jax.jit(make_swap_e2e(
+                self.net, self.parser.model,
+                parser_size=getattr(self.parser, "size", 512)
+                if getattr(self.parser, "taxonomy", "ffhq19") == "celeba19"
+                else 512,
+                taxonomy=getattr(self.parser, "taxonomy", "ffhq19"),
+            ))
             if hasattr(self.parser, "model") else None
         )
 
@@ -73,9 +79,9 @@ class FaceSwapper:
         return np.transpose(np.asarray(img, np.float32) / 255.0, (2, 0, 1))[None]
 
     def _parse12(self, arr01):
-        from e4s_tpu.models.bisenet import face_parsing_demo
+        from e4s_tpu.pipelines.swap_core import parse12_host
 
-        return face_parsing_demo(self.parser, jnp.asarray(arr01), True)
+        return parse12_host(self.parser, arr01)
 
     # ----------------------------- main --------------------------------
 

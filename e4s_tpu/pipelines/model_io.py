@@ -101,7 +101,38 @@ def load_net3(opts, checkpoint_path: Optional[str] = None):
 
 
 def load_face_parser(opts, ckpt_path: Optional[str] = None):
-    """BiSeNet parser; converted torch weights when available, else random."""
+    """Face parser by name (ref: face_parsing_demo.py:179-186):
+    ``default`` -> BiSeNet (face-parsing.PyTorch taxonomy);
+    ``segnext`` -> SegNeXt MSCAN+LightHamHead (CelebA taxonomy).
+    Converted torch/mmseg weights when available, else random."""
+    name = getattr(opts, "faceParser_name", "default")
+    if name == "segnext":
+        from e4s_tpu.models.segnext import SegNeXtFaceParser
+
+        variant = getattr(opts, "segnext_variant", None)
+        cfg = getattr(opts, "segnext_config", "") or ""
+        if variant is None:
+            # infer from the mmseg config filename, e.g.
+            # segnext.small.512x512.celebamaskhq.160k.py
+            variant = next(
+                (v for v in ("tiny", "small", "base", "large") if v in cfg),
+                "small",
+            )
+        if ckpt_path and os.path.exists(ckpt_path):
+            from e4s_tpu.utils.torch_convert import load_segnext_checkpoint
+
+            variables, variant = load_segnext_checkpoint(
+                ckpt_path, variant=variant
+            )
+            variables = jax.tree_util.tree_map(jnp.asarray, variables)
+            return SegNeXtFaceParser(variant=variant, variables=variables)
+        if ckpt_path:
+            print(
+                f"[e4s_tpu] WARNING: segnext ckpt {ckpt_path} not found; "
+                "random init"
+            )
+        return SegNeXtFaceParser(variant=variant)
+
     from e4s_tpu.models.bisenet import FaceParser
 
     if ckpt_path and os.path.exists(ckpt_path):

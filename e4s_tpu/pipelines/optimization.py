@@ -81,11 +81,41 @@ class Optimizer:
         if opts.face_parsing_lambda > 0:
             self.loss_vars["parsing"] = jax.jit(self.parsing_loss.init)(k, img0, img0)
 
+        # Mixed-precision inversion: frozen net + criteria weights bf16, the
+        # optimised theta (style vector / noise leaves) and Adam moments stay
+        # f32; theta is cast to bf16 inside the loss so gradients flow back
+        # to the f32 leaves through the cast.
+        self.bf16 = bool(getattr(opts, "bf16", False))
+        if self.bf16:
+            from e4s_tpu.pipelines.model_io import cast_pytree_bf16
+
+            self.loss_vars = cast_pytree_bf16(self.loss_vars)
+
         self.tx = make_optimizer(opts.opt_name, opts.lr)
         self._scan_refine = jax.jit(
             self._refine, static_argnames=("n_steps", "save_every")
         )
         self._jit_step = jax.jit(self._one_step)
+
+    def _mp(self, tree):
+        """Compute-precision cast: f32 leaves -> bf16 when opts.bf16."""
+        if not self.bf16:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
+    @staticmethod
+    def _f32(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
 
     # loss on the recon (ref: optimization.py:91-122)
     def _calc_loss(self, img, recon):
@@ -100,7 +130,8 @@ class Optimizer:
             aux["loss_id"] = lid
             loss = loss + lid * opts.id_lambda
         if opts.l2_lambda > 0:
-            l2 = jnp.mean((recon - img) ** 2)
+            # f32 accumulation (a bf16 mean over 1024^2 drifts)
+            l2 = jnp.mean(jnp.square((recon - img).astype(jnp.float32)))
             aux["loss_l2"] = l2
             loss = loss + l2 * opts.l2_lambda
         if opts.lpips_lambda > 0:
@@ -126,7 +157,9 @@ class Optimizer:
         codes = self.net.apply(
             variables, style_vectors, latent_avg, method=Net3.cal_style_codes
         )
-        struc = jnp.zeros((style_vectors.shape[0], 512, 32, 32), jnp.float32)
+        struc = jnp.zeros(
+            (style_vectors.shape[0], 512, 32, 32), style_vectors.dtype
+        )
         img, _, _ = self.net.apply(
             variables, struc, codes, onehot,
             method=Net3.gen_img, randomize_noise=False,
@@ -148,12 +181,15 @@ class Optimizer:
         )
 
     def _one_step(self, variables, latent_avg, loss_vars, theta, opt_state, img, onehot):
+        img_c, onehot_c = self._mp(img), self._mp(onehot)
+
         def loss_fn(t):
+            t = self._mp(t)
             recon = self._gen_from_sv_fn(
-                variables, latent_avg, t["sv"], onehot, noise=t.get("noise")
+                variables, latent_avg, t["sv"], onehot_c, noise=t.get("noise")
             )
-            loss, aux = self._calc_loss_fn(loss_vars, img, recon)
-            return loss, aux
+            loss, aux = self._calc_loss_fn(loss_vars, img_c, recon)
+            return loss.astype(jnp.float32), aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta)
         updates, opt_state = self.tx.update(grads, opt_state, theta)
@@ -165,9 +201,9 @@ class Optimizer:
         """Fallback when the scanned program exceeds the remote compiler's
         size limit: same math, one jitted step dispatched per iteration."""
         with_noise = noise_init is not None
-        theta = {"sv": sv_init}
+        theta = {"sv": self._f32(sv_init)}
         if with_noise:
-            theta["noise"] = tuple(noise_init)
+            theta["noise"] = tuple(self._f32(n) for n in noise_init)
         opt_state = self.tx.init(theta)
         losses = []
         for _ in range(n_steps):
@@ -180,7 +216,7 @@ class Optimizer:
         recon = self._gen_from_sv_fn(
             self.variables, self.latent_avg, sv, onehot,
             noise=theta.get("noise"),
-        )
+        ).astype(jnp.float32)
         trace = jnp.broadcast_to(sv[None], (n_steps,) + sv.shape)
         if with_noise:
             return sv, recon, jnp.stack(losses), trace, theta["noise"]
@@ -193,17 +229,20 @@ class Optimizer:
         extending the torch param list)."""
         tx = self.tx
         with_noise = noise_init is not None
-        theta0 = {"sv": sv_init}
+        # theta + Adam moments stay f32 even in bf16 mode
+        theta0 = {"sv": self._f32(sv_init)}
         if with_noise:
-            theta0["noise"] = tuple(noise_init)
+            theta0["noise"] = tuple(self._f32(n) for n in noise_init)
+        img_c, onehot_c = self._mp(img), self._mp(onehot)
 
         def loss_fn(theta):
+            theta = self._mp(theta)
             recon = self._gen_from_sv_fn(
-                variables, latent_avg, theta["sv"], onehot,
+                variables, latent_avg, theta["sv"], onehot_c,
                 noise=theta.get("noise"),
             )
-            loss, aux = self._calc_loss_fn(loss_vars, img, recon)
-            return loss, aux
+            loss, aux = self._calc_loss_fn(loss_vars, img_c, recon)
+            return loss.astype(jnp.float32), aux
 
         def step(carry, _):
             theta, opt_state = carry
@@ -219,7 +258,7 @@ class Optimizer:
         recon = self._gen_from_sv_fn(
             variables, latent_avg, theta["sv"], onehot,
             noise=theta.get("noise"),
-        )
+        ).astype(jnp.float32)
         if with_noise:
             return theta["sv"], recon, losses, sv_trace, theta["noise"]
         return theta["sv"], recon, losses, sv_trace

@@ -17,6 +17,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e4s_tpu.models.net3 import Net3
 from e4s_tpu.ops.morphology import create_masks
@@ -106,12 +107,43 @@ def seg19_to_12_device(seg19):
     return lut[seg19]
 
 
-def parse12_device(parser_model, parser_variables, img01, parser_size=512):
-    """BiSeNet parse + 19->12 conversion, fully on device.
+# CelebAMask-HQ 19-cls -> detailed 12-cls (the SegNeXt parser's taxonomy;
+# mirrors datasets.dataset.celebahq_mask_to_faceparser_mask_detailed,
+# ref: src/datasets/dataset.py:153-209)
+_CELEBA19_TO12 = [0] * 19
+for _srcs, _dst in [
+    ([11, 12], 1), ([6, 7], 2), ([4, 5], 3), ([13], 4), ([2], 5),
+    ([1], 6), ([8, 9], 7), ([17], 8), ([10], 9), ([3], 10), ([15], 11),
+]:
+    for _s in _srcs:
+        _CELEBA19_TO12[_s] = _dst
+
+
+def celeba19_to_12_device(seg19):
+    """CelebA-order 19-cls labels -> detailed 12-cls on device."""
+    lut = jnp.asarray(_CELEBA19_TO12, dtype=seg19.dtype)
+    return lut[seg19]
+
+
+def parse12_device(
+    parser_model, parser_variables, img01, parser_size=512,
+    taxonomy: str = "ffhq19",
+):
+    """Face parse + 19->12 conversion, fully on device.
 
     img01: [B,3,S,S] float in [0,1] -> int32 12-cls labels [B,ps,ps].
-    ref: face_parsing_demo.py:127-209.
+    ``taxonomy`` selects the parser family: "ffhq19" = BiSeNet
+    (face-parsing.PyTorch label order, ref: face_parsing_demo.py:127-209),
+    "celeba19" = SegNeXt (CelebA order, ref: face_parsing_demo.py:200-207).
     """
+    if taxonomy == "celeba19":
+        from e4s_tpu.models.segnext import segnext_parse19_device
+
+        seg19 = segnext_parse19_device(
+            parser_model, parser_variables, img01, parser_size
+        )
+        return celeba19_to_12_device(seg19)
+
     from e4s_tpu.models.bisenet import SEG_MEAN, SEG_STD, bicubic_downsample
 
     if img01.shape[-1] >= parser_size:
@@ -124,13 +156,34 @@ def parse12_device(parser_model, parser_variables, img01, parser_size=512):
     return seg19_to_12_device(jnp.argmax(seg_out, axis=1).astype(jnp.int32))
 
 
+def parse12_host(parser, arr01) -> np.ndarray:
+    """Host-side parse + 19->12 conversion for any parser wrapper, selecting
+    the taxonomy converter by the parser's ``taxonomy`` attribute
+    (ref: face_parsing_demo.py:188-209)."""
+    if getattr(parser, "taxonomy", "ffhq19") == "celeba19":
+        from e4s_tpu.datasets.dataset import (
+            celebahq_mask_to_faceparser_mask_detailed,
+        )
+
+        seg = np.asarray(parser(jnp.asarray(arr01))).astype(np.uint8)
+        return np.stack(
+            [celebahq_mask_to_faceparser_mask_detailed(s) for s in seg]
+        )
+    from e4s_tpu.models.bisenet import face_parsing_demo
+
+    return face_parsing_demo(parser, jnp.asarray(arr01), True)
+
+
 def _img_to01(img):
     if img.dtype == jnp.uint8:
         return img.astype(jnp.float32) / 255.0
     return img
 
 
-def make_swap_e2e(net: Net3, parser_model, parser_size: int = 512):
+def make_swap_e2e(
+    net: Net3, parser_model, parser_size: int = 512,
+    taxonomy: str = "ffhq19",
+):
     """Single-program end-to-end swap: uint8 images in, uint8 image out.
 
     The axon host<->device link runs ~20 MB/s, so the e2e swap is transfer
@@ -147,7 +200,8 @@ def make_swap_e2e(net: Net3, parser_model, parser_size: int = 512):
         B = src.shape[0]
         img01 = jnp.concatenate([_img_to01(src), _img_to01(tgt)], axis=0)
         seg12 = parse12_device(
-            parser_model, parser_variables, img01, parser_size
+            parser_model, parser_variables, img01, parser_size,
+            taxonomy=taxonomy,
         )
         d_label, t_label = seg12[:B], seg12[B:]
         swapped_label, hole_map = swap_head_mask_device(d_label, t_label)

@@ -169,6 +169,21 @@ class Coach:
         if opts.style_lambda > 0:
             self.loss_vars["style"] = jax.jit(self.style_loss.init)(ks[3], img0, img0)
 
+        # Mixed precision (TPU-native): bf16 compute inside the jitted G/D
+        # steps with f32 master weights + f32 optimizer/EMA state. Frozen
+        # criteria weights are cast once here; trainable params are cast
+        # inside each loss_fn so gradients flow back to the f32 masters
+        # through the cast. Demod/accumulation inside the modulated convs
+        # stay f32 (see ops/modconv.py). The R1 step stays f32 (double
+        # gradients; off by default, d_reg_every=-1, ref train_options.py:38).
+        self.mixed_precision = bool(
+            getattr(opts, "mixed_precision", getattr(opts, "bf16", False))
+        )
+        if self.mixed_precision:
+            from e4s_tpu.pipelines.model_io import cast_pytree_bf16
+
+            self.loss_vars = cast_pytree_bf16(self.loss_vars)
+
         # optimizers (x0.1 at step 100k; ref: coach.py:390-392)
         schedule = optax.piecewise_constant_schedule(
             opts.learning_rate, {100_000: 0.1}
@@ -295,7 +310,8 @@ class Coach:
             loss_dict["id_improve"] = sim
             loss = loss + lid * opts.id_lambda
         if opts.l2_lambda > 0:
-            l2 = jnp.mean((recon - img) ** 2)
+            # accumulate the 1024^2 reduction in f32 (bf16 mean drifts)
+            l2 = jnp.mean(jnp.square((recon - img).astype(jnp.float32)))
             loss_dict["loss_l2"] = l2
             loss = loss + l2 * opts.l2_lambda
         if opts.lpips_lambda > 0:
@@ -329,6 +345,17 @@ class Coach:
     # jitted steps
     # ------------------------------------------------------------------
 
+    def _mp(self, tree):
+        """Compute-precision cast: f32 leaves -> bf16 when mixed_precision."""
+        if not self.mixed_precision:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
     def _net_forward(self, params, noises, img, onehot, latent_avg, rng):
         variables = {"params": params, "noises": noises}
         return self.net.apply(
@@ -345,18 +372,20 @@ class Coach:
         opts = self.opts
 
         def loss_fn(params):
+            mp = self._mp
+            img_c, onehot_c, la_c = mp(img), mp(onehot), mp(state.latent_avg)
             recon, _, latent = self._net_forward(
-                params, state.noises, img, onehot, state.latent_avg, rng
+                mp(params), mp(state.noises), img_c, onehot_c, la_c, rng
             )
             loss, loss_dict = self._calc_loss(
-                img, recon, mask, latent, state.latent_avg
+                img_c, recon, mask, latent, la_c
             )
             g_loss = 0.0
             if self.D is not None:
-                fake_pred = self.D.apply({"params": state.params_d}, recon)
+                fake_pred = self.D.apply({"params": mp(state.params_d)}, recon)
                 g_loss = adv_g_loss(fake_pred)
             loss_dict["g_loss"] = g_loss
-            overall = loss + opts.g_adv_lambda * g_loss
+            overall = (loss + opts.g_adv_lambda * g_loss).astype(jnp.float32)
             loss_dict["loss"] = overall
             return overall, loss_dict
 
@@ -378,13 +407,16 @@ class Coach:
 
     def _d_step(self, state: TrainState, img, onehot, rng):
         def loss_fn(params_d):
+            mp = self._mp
+            img_c = mp(img)
             recon, _, _ = self._net_forward(
-                state.params, state.noises, img, onehot, state.latent_avg, rng
+                mp(state.params), mp(state.noises), img_c, mp(onehot),
+                mp(state.latent_avg), rng,
             )
             recon = jax.lax.stop_gradient(recon)
-            fake_pred = self.D.apply({"params": params_d}, recon)
-            real_pred = self.D.apply({"params": params_d}, img)
-            d_loss = adv_d_loss(real_pred, fake_pred)
+            fake_pred = self.D.apply({"params": mp(params_d)}, recon)
+            real_pred = self.D.apply({"params": mp(params_d)}, img_c)
+            d_loss = adv_d_loss(real_pred, fake_pred).astype(jnp.float32)
             return d_loss, {
                 "d_loss": d_loss,
                 "real_score": jnp.mean(real_pred),

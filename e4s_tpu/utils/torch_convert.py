@@ -371,6 +371,111 @@ def convert_bisenet(sd):
     return split_batch_stats(out)
 
 
+def convert_segnext(sd, depths):
+    """mmseg SegNeXt (MSCAN + LightHamHead) state dict -> (params, stats).
+
+    torch names (official SegNeXt release / mmseg ConvModule conventions):
+    backbone.patch_embed1.proj.{0,1,3,4} (StemConv),
+    backbone.patch_embed{2..4}.{proj,norm}, backbone.block{s}.{b}.*,
+    backbone.norm{s} (LayerNorm), decode_head.{squeeze,hamburger,align}
+    (ConvModule norm name 'gn' for GroupNorm; 'bn' accepted), and
+    decode_head.conv_seg. ref: the parser loaded via mmseg
+    (src/pretrained/face_parsing/face_parsing_demo.py:182-186, configs
+    pretrained_ckpts/face_parsing/segnext.*.py).
+    """
+    out: Dict = {}
+
+    def take(p, q, bias=True):
+        _set(out, q + ("weight",), _np(sd[f"{p}.weight"]))
+        if bias and f"{p}.bias" in sd:
+            _set(out, q + ("bias",), _np(sd[f"{p}.bias"]))
+
+    def convmodule(p, q_conv, q_norm):
+        """mmcv ConvModule with GN: conv (no bias) + norm."""
+        take(f"{p}.conv", q_conv, bias=False)
+        norm = "gn" if f"{p}.gn.weight" in sd else "bn"
+        _set(out, q_norm + ("weight",), _np(sd[f"{p}.{norm}.weight"]))
+        _set(out, q_norm + ("bias",), _np(sd[f"{p}.{norm}.bias"]))
+
+    bb = ("backbone",)
+    # stage 1 stem: proj indices 0=conv 1=bn 3=conv 4=bn
+    take("backbone.patch_embed1.proj.0", bb + ("stem_conv1",))
+    _bn(sd, "backbone.patch_embed1.proj.1", out, bb + ("stem_bn1",))
+    take("backbone.patch_embed1.proj.3", bb + ("stem_conv2",))
+    _bn(sd, "backbone.patch_embed1.proj.4", out, bb + ("stem_bn2",))
+    for s in (2, 3, 4):
+        take(f"backbone.patch_embed{s}.proj", bb + (f"patch_embed{s}_proj",))
+        _bn(sd, f"backbone.patch_embed{s}.norm", out,
+            bb + (f"patch_embed{s}_norm",))
+    for s in range(1, 5):
+        for b in range(depths[s - 1]):
+            p = f"backbone.block{s}.{b}"
+            q = bb + (f"block{s}_{b}",)
+            _set(out, q + ("layer_scale_1",), _np(sd[f"{p}.layer_scale_1"]))
+            _set(out, q + ("layer_scale_2",), _np(sd[f"{p}.layer_scale_2"]))
+            _bn(sd, f"{p}.norm1", out, q + ("norm1",))
+            _bn(sd, f"{p}.norm2", out, q + ("norm2",))
+            take(f"{p}.attn.proj_1", q + ("attn_proj_1",))
+            take(f"{p}.attn.proj_2", q + ("attn_proj_2",))
+            for c in ("conv0", "conv0_1", "conv0_2", "conv1_1", "conv1_2",
+                      "conv2_1", "conv2_2", "conv3"):
+                take(f"{p}.attn.spatial_gating_unit.{c}",
+                     q + ("attn_spatial", c))
+            take(f"{p}.mlp.fc1", q + ("mlp_fc1",))
+            take(f"{p}.mlp.dwconv.dwconv", q + ("mlp_dwconv",))
+            take(f"{p}.mlp.fc2", q + ("mlp_fc2",))
+        _set(out, bb + (f"norm{s}_weight",), _np(sd[f"backbone.norm{s}.weight"]))
+        _set(out, bb + (f"norm{s}_bias",), _np(sd[f"backbone.norm{s}.bias"]))
+
+    dh = ("decode_head",)
+    convmodule("decode_head.squeeze", dh + ("squeeze_conv",),
+               dh + ("squeeze_norm",))
+    # ham_in: ConvModule(norm_cfg=None) -> biased conv, no norm
+    take("decode_head.hamburger.ham_in.conv", dh + ("hamburger", "ham_in"))
+    convmodule("decode_head.hamburger.ham_out",
+               dh + ("hamburger", "ham_out"),
+               dh + ("hamburger", "ham_out_norm"))
+    convmodule("decode_head.align", dh + ("align_conv",), dh + ("align_norm",))
+    take("decode_head.conv_seg", dh + ("conv_seg",))
+    return split_batch_stats(out)
+
+
+def segnext_variant_from_sd(sd):
+    """Infer the size variant from the checkpoint shapes: stage-1 dim
+    (patch_embed1.proj.0 out-channels x2) and stage-3 depth."""
+    dim1 = int(_np(sd["backbone.patch_embed1.proj.0.weight"]).shape[0]) * 2
+    if dim1 == 32:
+        return "tiny"
+    depth3 = 1 + max(
+        int(m.group(1))
+        for k in sd
+        for m in [re.match(r"backbone\.block3\.(\d+)\.", k)]
+        if m
+    )
+    return {4: "small", 12: "base", 27: "large"}[depth3]
+
+
+def load_segnext_checkpoint(path, variant=None):
+    """mmseg segnext .pth -> (variables, variant) for models.segnext.SegNeXt."""
+    import torch
+
+    from e4s_tpu.models.segnext import SEGNEXT_VARIANTS
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = remove_module_prefix(sd)
+    inferred = segnext_variant_from_sd(sd)
+    if variant is not None and variant != inferred:
+        print(
+            f"[e4s_tpu] segnext variant {variant!r} requested but checkpoint "
+            f"is {inferred!r}; using {inferred!r}"
+        )
+    variant = inferred
+    params, stats = convert_segnext(sd, SEGNEXT_VARIANTS[variant]["depths"])
+    return {"params": params, "batch_stats": stats}, variant
+
+
 def load_bisenet_checkpoint(path):
     """79999_iter.pth -> variables dict for models.bisenet.BiSeNet."""
     import torch

@@ -33,6 +33,7 @@ def main():
     out_size = int(os.environ.get("BENCH_OUT_SIZE", "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    bf16 = os.environ.get("BENCH_TRAIN_BF16", "0") == "1"
 
     opts = types.SimpleNamespace(
         exp_dir="/tmp/e4s_train_bench", num_seg_cls=12, out_size=out_size,
@@ -45,7 +46,7 @@ def main():
         lpips_lambda=0.8, id_lambda=0.1, id_loss_multiscale=True,
         face_parsing_lambda=0.1, l2_lambda=1.0, w_norm_lambda=0.0,
         r1_lambda=10.0, g_adv_lambda=0.01, style_lambda=0.0, style_loss_norm=1,
-        no_tensorboard=True, latent_avg_samples=1000,
+        no_tensorboard=True, latent_avg_samples=1000, bf16=bf16,
     )
     coach = Coach(opts)
     ds = SyntheticFaceDataset(size=out_size, num_seg_cls=12)
@@ -75,6 +76,7 @@ def main():
         "batch": batch,
         "out_size": out_size,
         "loss": round(loss, 4),
+        "bf16": bf16,
         "a100_reference_imgs_per_sec": 3.5,
     }))
 

@@ -112,6 +112,34 @@ def test_optimization_pipeline_smoke(tmp_path):
     assert os.path.exists(tmp_path / "sample_1" / "sample_1_0003.png")
 
 
+def test_optimization_bf16(tmp_path):
+    """Mixed-precision inversion: theta/Adam stay f32, losses finite and
+    comparable to the f32 run from the same init."""
+    from e4s_tpu.datasets.dataset import SyntheticFaceDataset
+    from e4s_tpu.pipelines.optimization import Optimizer
+
+    def make_opts(bf16):
+        return types.SimpleNamespace(
+            num_seg_cls=12, out_size=64, remaining_layer_idx=7, n_styles=10,
+            start_from_latent_avg=True, learn_in_w=False, train_G=False,
+            checkpoint_path=None, output_dir=str(tmp_path), opt_name="adam",
+            lr=1e-2, W_steps=3, save_interval=10**9, save_intermediate=False,
+            verbose=False, id_lambda=0.1, id_loss_multiscale=True,
+            l2_lambda=1.0, lpips_lambda=0.8, face_parsing_lambda=0.1,
+            ds_frac=1.0, bf16=bf16,
+        )
+
+    ds = SyntheticFaceDataset(size=64, num_seg_cls=12, length=4)
+    final = {}
+    for bf16 in (False, True):
+        optimizer = Optimizer(make_opts(bf16), dataset=ds)
+        sv, recon, losses = optimizer.invertion(1, save=False)
+        assert sv.dtype == jnp.float32  # theta stays f32 master
+        assert np.all(np.isfinite(losses))
+        final[bf16] = float(losses[-1])
+    assert abs(final[True] - final[False]) <= 0.1 * abs(final[False]) + 5e-2
+
+
 def test_swap_batch(tmp_path):
     from e4s_tpu.pipelines.face_swap import FaceSwapper
 
@@ -123,6 +151,43 @@ def test_swap_batch(tmp_path):
     out = swapper.swap_batch(src, tgt)
     assert out.shape == (3, 3, 64, 64)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_face_swap_segnext_parser(tmp_path):
+    """BASELINE config #3 path: SegNeXt parser + lap_bld (staged) and the
+    fused program, both end-to-end with the CelebA-taxonomy converter."""
+    from e4s_tpu.models.segnext import SegNeXtFaceParser
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    src, tgt = _write_test_images(tmp_path)
+    opts = small_swap_opts(tmp_path)
+    opts.faceParser_name = "segnext"
+    parser = SegNeXtFaceParser(variant="tiny", size=64)
+    swapper = FaceSwapper(opts, parser=parser)
+    assert swapper._swap_e2e is not None  # fused path available
+    result = swapper.swap(src, tgt)  # fused (no verbose/lap_bld)
+    assert result.size == (64, 64)
+
+    opts.lap_bld = True  # staged path through _parse12 + pyramid blend
+    swapper2 = FaceSwapper(opts, parser=parser)
+    result2 = swapper2.swap(src, tgt, save_dir=str(tmp_path / "out"))
+    assert result2.size[0] in (64, 1024)
+
+
+def test_load_face_parser_routes_segnext(tmp_path):
+    import types as _t
+
+    from e4s_tpu.models.segnext import SegNeXtFaceParser
+    from e4s_tpu.pipelines.model_io import load_face_parser
+
+    opts = _t.SimpleNamespace(
+        out_size=64, faceParser_name="segnext",
+        segnext_config="segnext.tiny.512x512.celebamaskhq.160k.py",
+    )
+    parser = load_face_parser(opts)
+    assert isinstance(parser, SegNeXtFaceParser)
+    assert parser.model.variant == "tiny"
+    assert parser.taxonomy == "celeba19"
 
 
 def test_face_swap_bf16(tmp_path):

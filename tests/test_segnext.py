@@ -33,6 +33,124 @@ def test_segnext_logits_shape():
     assert logits.shape == (1, 19, 64, 64)
 
 
+def _mmseg_tiny_state_dict(seed=0):
+    """Synthesize an mmseg-style SegNeXt-tiny state dict (official key
+    names/shapes) for converter structural tests; real checkpoints are not
+    available in this image."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def put(name, *shape):
+        sd[name] = rng.randn(*shape).astype(np.float32) * 0.05
+
+    def conv(name, o, i, kh, kw, bias=True):
+        put(name + ".weight", o, i, kh, kw)
+        if bias:
+            put(name + ".bias", o)
+
+    def bn(name, c):
+        put(name + ".weight", c)
+        put(name + ".bias", c)
+        put(name + ".running_mean", c)
+        sd[name + ".running_var"] = (
+            np.abs(rng.randn(c)).astype(np.float32) + 0.5
+        )
+        sd[name + ".num_batches_tracked"] = np.int64(1000)
+
+    dims, depths, ratios = (32, 64, 160, 256), (3, 3, 5, 2), (8, 8, 4, 4)
+    conv("backbone.patch_embed1.proj.0", dims[0] // 2, 3, 3, 3)
+    bn("backbone.patch_embed1.proj.1", dims[0] // 2)
+    conv("backbone.patch_embed1.proj.3", dims[0], dims[0] // 2, 3, 3)
+    bn("backbone.patch_embed1.proj.4", dims[0])
+    for s in (2, 3, 4):
+        conv(f"backbone.patch_embed{s}.proj", dims[s - 1], dims[s - 2], 3, 3)
+        bn(f"backbone.patch_embed{s}.norm", dims[s - 1])
+    for s in range(1, 5):
+        d, r = dims[s - 1], ratios[s - 1]
+        for b in range(depths[s - 1]):
+            p = f"backbone.block{s}.{b}"
+            put(f"{p}.layer_scale_1", d)
+            put(f"{p}.layer_scale_2", d)
+            bn(f"{p}.norm1", d)
+            bn(f"{p}.norm2", d)
+            conv(f"{p}.attn.proj_1", d, d, 1, 1)
+            conv(f"{p}.attn.proj_2", d, d, 1, 1)
+            sg = f"{p}.attn.spatial_gating_unit"
+            conv(f"{sg}.conv0", d, 1, 5, 5)
+            conv(f"{sg}.conv0_1", d, 1, 1, 7)
+            conv(f"{sg}.conv0_2", d, 1, 7, 1)
+            conv(f"{sg}.conv1_1", d, 1, 1, 11)
+            conv(f"{sg}.conv1_2", d, 1, 11, 1)
+            conv(f"{sg}.conv2_1", d, 1, 1, 21)
+            conv(f"{sg}.conv2_2", d, 1, 21, 1)
+            conv(f"{sg}.conv3", d, d, 1, 1)
+            conv(f"{p}.mlp.fc1", d * r, d, 1, 1)
+            conv(f"{p}.mlp.dwconv.dwconv", d * r, 1, 3, 3)
+            conv(f"{p}.mlp.fc2", d, d * r, 1, 1)
+        put(f"backbone.norm{s}.weight", d)
+        put(f"backbone.norm{s}.bias", d)
+
+    ham, ch = 256, 256
+    head_in = 64 + 160 + 256
+    conv("decode_head.squeeze.conv", ham, head_in, 1, 1, bias=False)
+    put("decode_head.squeeze.gn.weight", ham)
+    put("decode_head.squeeze.gn.bias", ham)
+    conv("decode_head.hamburger.ham_in.conv", ham, ham, 1, 1)
+    conv("decode_head.hamburger.ham_out.conv", ham, ham, 1, 1, bias=False)
+    put("decode_head.hamburger.ham_out.gn.weight", ham)
+    put("decode_head.hamburger.ham_out.gn.bias", ham)
+    conv("decode_head.align.conv", ch, ham, 1, 1, bias=False)
+    put("decode_head.align.gn.weight", ch)
+    put("decode_head.align.gn.bias", ch)
+    conv("decode_head.conv_seg", 19, ch, 1, 1)
+    return sd
+
+
+def _flat_shapes(tree):
+    flat = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            else:
+                flat[path + (k,)] = tuple(np.shape(v))
+
+    walk(tree, ())
+    return flat
+
+
+def test_convert_segnext_structural():
+    """Converter consumes an mmseg-shaped state dict into exactly our
+    variable tree (every path present, every shape right) and the result
+    runs through the model."""
+    from e4s_tpu.utils.torch_convert import convert_segnext
+
+    sd = _mmseg_tiny_state_dict()
+    params, stats = convert_segnext(sd, SEGNEXT_VARIANTS["tiny"]["depths"])
+    variables = {"params": params, "batch_stats": stats}
+
+    model = SegNeXt(variant="tiny")
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)))
+    ref = jax.tree_util.tree_map(np.asarray, ref)
+    assert _flat_shapes(variables) == _flat_shapes(
+        {"params": ref["params"], "batch_stats": ref["batch_stats"]}
+    )
+
+    logits = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.zeros((1, 3, 32, 32)),
+    )
+    assert logits.shape == (1, 19, 32, 32)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_segnext_variant_inference():
+    from e4s_tpu.utils.torch_convert import segnext_variant_from_sd
+
+    assert segnext_variant_from_sd(_mmseg_tiny_state_dict()) == "tiny"
+
+
 def test_nmf_reconstruction_improves():
     """NMF reconstruction of a non-negative rank-2 matrix should be close."""
     rng = np.random.RandomState(0)

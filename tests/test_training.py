@@ -116,6 +116,50 @@ def test_coach_trains_on_8dev_mesh(tmp_path):
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
+def test_mixed_precision_training_step(tmp_path):
+    """bf16 compute / f32 master weights: the mp G+D steps run, keep the
+    params f32, and produce losses close to the f32 steps from the same
+    init."""
+    from e4s_tpu.datasets.dataset import (
+        SyntheticFaceDataset,
+        label_map_to_onehot,
+    )
+    from e4s_tpu.parallel.mesh import shard_batch
+
+    ds = SyntheticFaceDataset(size=64, num_seg_cls=12)
+    img = np.stack([ds[0][0]]).astype(np.float32)
+    label = np.stack([ds[0][1]]).astype(np.int32)
+    onehot = label_map_to_onehot(label, 12)
+    rng = jax.random.PRNGKey(0)
+
+    losses = {}
+    for mp in (False, True):
+        opts = small_opts(
+            exp_dir=str(tmp_path / f"mp_{mp}"), n_devices=1, bf16=mp
+        )
+        coach = Coach(opts)
+        b = shard_batch((img, label, onehot), coach.mesh)
+        coach.state, d_l = coach._compiled_d(coach.state, b[0], b[2], rng)
+        coach.state, g_l = coach._compiled_g(coach.state, b[0], b[1], b[2], rng)
+        assert all(np.isfinite(float(v)) for v in g_l.values())
+        assert all(np.isfinite(float(v)) for v in d_l.values())
+        # master weights + optimizer state stay f32
+        for leaf in jax.tree_util.tree_leaves(coach.state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(coach.state.opt_state):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.floating
+            ):
+                assert leaf.dtype == jnp.float32
+        losses[mp] = (float(g_l["loss"]), float(d_l["d_loss"]))
+
+    for f32_v, bf16_v in zip(losses[False], losses[True]):
+        assert abs(f32_v - bf16_v) <= 0.05 * abs(f32_v) + 5e-2, (
+            f"bf16 step diverged from f32: {losses}"
+        )
+
+
 def test_trainable_mask_rules():
     params = {
         "encoder": {"w": np.zeros(1)},
