@@ -476,6 +476,17 @@ def masked_modulated_conv2d_nhwc(
     return out.reshape(B, 2 * H, 2 * W, Co)
 
 
+def _up_stacked_wanted() -> bool:
+    """Dispatch switch for the stacked-polyphase unmasked up-conv
+    (E4S_TPU_UP_STACKED=1 enables; default OFF). The dense [4Co,Ci,3,3]
+    conv trades 4x MACs for full-lane MXU contractions and drops the convT
+    zero-stuffing + depthwise blur passes — but an interleaved A/B on v5e
+    (scripts/ab_up_stacked.py, 1024² bf16 synthesis) measured it at 16.36ms
+    vs 15.79ms for convT+blur across all rounds, so XLA's convT lowering
+    wins and this stays an opt-in."""
+    return os.environ.get("E4S_TPU_UP_STACKED", "") == "1"
+
+
 def modulated_conv2d_nhwc(
     x, w_scaled, s, *, demodulate=True, up=False, down=False,
     blur_kernel=(1, 3, 3, 1),
@@ -488,6 +499,35 @@ def modulated_conv2d_nhwc(
     xm = x * s[:, None, None, :].astype(x.dtype)
 
     if up:
+        if ksize == 3 and len(blur_kernel) == 4 and _up_stacked_wanted():
+            # Stacked polyphase: blur∘convT(stride 2) == 4 3x3 phase kernels
+            # of the 6x6 composite (see masked_modulated_conv2d). Stacking
+            # the phases along Co turns the whole upsample into ONE stride-1
+            # conv [B,H,W,Ci] -> [B,H,W,4Co] + a depth-to-space reshape —
+            # no zero-stuffed conv_transpose, no separate depthwise blur
+            # pass, and the MXU contraction stays at Ci (the tail octaves'
+            # convT would otherwise run at Co=64/32 output lanes).
+            bk = make_kernel(blur_kernel) * 4.0
+            E = _composite_up_kernel(w_scaled, bk)  # [Co,Ci,6,6]
+            K = jnp.concatenate(
+                [
+                    E[:, :, (a + 4, a + 2, a), :][:, :, :, (b + 4, b + 2, b)]
+                    for a in (0, 1)
+                    for b in (0, 1)
+                ],
+                axis=0,
+            )  # [4Co, Ci, 3, 3], phase-major (a,b)
+            out = convops.conv2d(xm, K, padding=1, channels_last=True)
+            Co = w_scaled.shape[0]
+            if demodulate:
+                d = demod_coeff(w_scaled, s)  # [B,Co]
+                out = out * jnp.tile(d, (1, 4))[:, None, None, :].astype(
+                    out.dtype
+                )
+            B, H, W, _ = out.shape
+            out = out.reshape(B, H, W, 2, 2, Co)  # [B,H,W,a,b,Co]
+            out = out.transpose(0, 1, 3, 2, 4, 5)  # [B,H,a,W,b,Co]
+            return out.reshape(B, 2 * H, 2 * W, Co)
         out = convops.conv_transpose2d(
             xm, jnp.swapaxes(w_scaled, 0, 1), stride=2, padding=0,
             channels_last=True,

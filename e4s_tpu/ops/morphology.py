@@ -22,10 +22,20 @@ MAX_VAL = 1e4
 
 
 def _flat_window_reduce(x, se_h, se_w, origin, init, reduce_fn, pad_val):
+    # A full-ones rectangular SE is separable: reduce rows then columns —
+    # O(kh+kw) comparisons per pixel instead of O(kh*kw). The padding
+    # sentinel never wins either 1-D reduction, so results are identical.
     pad_e = ((origin[0], se_h - origin[0] - 1), (origin[1], se_w - origin[1] - 1))
     xp = jnp.pad(
         x, ((0, 0), (0, 0), pad_e[0], pad_e[1]), constant_values=pad_val
     )
+    if se_h > 1 and se_w > 1:
+        xp = lax.reduce_window(
+            xp, init, reduce_fn, (1, 1, se_h, 1), (1, 1, 1, 1), "VALID"
+        )
+        return lax.reduce_window(
+            xp, init, reduce_fn, (1, 1, 1, se_w), (1, 1, 1, 1), "VALID"
+        )
     return lax.reduce_window(
         xp, init, reduce_fn, (1, 1, se_h, se_w), (1, 1, 1, 1), "VALID"
     )

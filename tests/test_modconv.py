@@ -204,3 +204,21 @@ def test_unmasked_nhwc_equals_nchw(mode):
         np.asarray(jnp.transpose(got, (0, 3, 1, 2))), np.asarray(want),
         rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("demodulate", [True, False])
+def test_unmasked_up_stacked_equals_convt(demodulate, monkeypatch):
+    """Stacked-polyphase upsample (one conv + depth-to-space) must equal the
+    conv_transpose+blur formulation (the TPU dispatch default)."""
+    from e4s_tpu.ops.modconv import modulated_conv2d_nhwc
+
+    x, w, s, _ = _mk_inputs()
+    s1 = s[:, 0]
+    xl = jnp.transpose(x, (0, 2, 3, 1))
+    monkeypatch.setenv("E4S_TPU_UP_STACKED", "0")
+    want = modulated_conv2d_nhwc(xl, w, s1, up=True, demodulate=demodulate)
+    monkeypatch.setenv("E4S_TPU_UP_STACKED", "1")
+    got = modulated_conv2d_nhwc(xl, w, s1, up=True, demodulate=demodulate)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+    )
