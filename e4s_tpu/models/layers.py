@@ -101,11 +101,15 @@ class FusedLeakyReLU(nn.Module):
     channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
+        """``packed``: x is space-to-depth packed [B,H,W,4C] (phase-major);
+        the per-channel bias is tiled across the 4 phases — exact."""
         bias = self.param("bias", nn.initializers.zeros, (self.channel,))
+        if packed:
+            bias = jnp.tile(bias, 4)
         return fused_leaky_relu(
             x, bias, self.negative_slope, self.scale,
-            channels_last=self.channels_last,
+            channels_last=self.channels_last or packed,
         )
 
 

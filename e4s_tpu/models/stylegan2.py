@@ -34,6 +34,7 @@ from e4s_tpu.models.layers import (
     pixel_norm,
 )
 from e4s_tpu.ops.modconv import (
+    depth_to_space2,
     masked_modulated_conv2d,
     masked_modulated_conv2d_naive,
     masked_modulated_conv2d_nhwc,
@@ -41,8 +42,14 @@ from e4s_tpu.ops.modconv import (
     masked_torgb_nhwc,
     modulated_conv2d,
     modulated_conv2d_nhwc,
+    modulated_conv2d_nhwc_packed,
+    modulated_conv2d_nhwc_up_packed,
+    packed_tail_min_res,
+    packed_tail_wanted,
+    space_to_depth2,
+    torgb_nhwc_packed,
 )
-from e4s_tpu.ops.upfirdn2d import upsample2
+from e4s_tpu.ops.upfirdn2d import upsample2, upsample2_packed
 
 CHANNELS = {
     4: 512, 8: 512, 16: 512, 32: 512,
@@ -90,12 +97,32 @@ class ModulatedConv2d(nn.Module):
         )
         self.scale = 1.0 / math.sqrt(self.in_channel * self.kernel_size**2)
 
-    def __call__(self, x, style, mask=None):
+    def __call__(self, x, style, mask=None, packed_in=False, packed_out=False):
         """style: [B, style_dim] (plain) or [B, R, style_dim] with one-hot
         ``mask`` [B, R, Hm, Wm] for regional injection. ``x`` is NCHW, or
-        NHWC when ``channels_last`` (weights stay OIHW either way)."""
+        NHWC when ``channels_last`` (weights stay OIHW either way).
+
+        ``packed_in``/``packed_out`` select the exact space-to-depth
+        (packed) domain for the unmasked NHWC tail (see
+        e4s_tpu.ops.modconv packed-domain section): ``packed_out`` on an
+        upsampling conv takes unpacked input and emits packed output;
+        ``packed_in`` runs a stride-1 conv wholly in the packed domain."""
         w_scaled = self.weight * self.scale
         s = self.modulation(style)  # [..., Ci]
+        if packed_in or packed_out:
+            assert mask is None and self.channels_last and not self.downsample
+            if packed_out:
+                assert self.upsample and not packed_in
+                return modulated_conv2d_nhwc_up_packed(
+                    x, w_scaled, s, demodulate=self.demodulate,
+                    blur_kernel=tuple(self.blur_kernel),
+                )
+            assert not self.upsample
+            if self.kernel_size == 1 and not self.demodulate:
+                return torgb_nhwc_packed(x, w_scaled, s)
+            return modulated_conv2d_nhwc_packed(
+                x, w_scaled, s, demodulate=self.demodulate
+            )
         if mask is None:
             fn = modulated_conv2d_nhwc if self.channels_last else modulated_conv2d
             return fn(
@@ -136,19 +163,30 @@ class NoiseInjection(nn.Module):
     channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x, noise=None, deterministic=False):
+    def __call__(self, x, noise=None, deterministic=False, packed=False):
+        """``packed``: x is space-to-depth packed [B,H,W,4C]; noise keeps the
+        public unpacked contract and is packed here (phase values repeated
+        C times along the phase-major channel axis), so results equal the
+        unpacked path exactly — including the random draw, which uses the
+        unpacked [B,2H,2W,1] shape."""
         weight = self.param("weight", nn.initializers.zeros, (1,))
         if noise is None:
             if deterministic:
                 return x
             key = self.make_rng("noise")
-            if self.channels_last:
+            if packed:
+                B, H, W, _ = x.shape
+                noise = jax.random.normal(key, (B, 2 * H, 2 * W, 1), dtype=x.dtype)
+            elif self.channels_last:
                 B, H, W, _ = x.shape
                 noise = jax.random.normal(key, (B, H, W, 1), dtype=x.dtype)
             else:
                 B, _, H, W = x.shape
                 noise = jax.random.normal(key, (B, 1, H, W), dtype=x.dtype)
-        elif self.channels_last and noise.ndim == 4:
+            if packed:
+                noise = space_to_depth2(noise)  # [B,H,W,4]
+                noise = jnp.repeat(noise, x.shape[-1] // 4, axis=-1)
+        elif (packed or self.channels_last) and noise.ndim == 4:
             # caller-supplied noise keeps the public NCHW contract: [B,1,H,W]
             # (registered buffers) or full-channel [B,C,H,W] (the edit
             # pipeline's fixed noise, ref: scripts/face_edit.py:49-51)
@@ -157,6 +195,10 @@ class NoiseInjection(nn.Module):
                 noise = noise.reshape(noise.shape[0], *noise.shape[2:], 1)
             else:
                 noise = jnp.transpose(noise, (0, 2, 3, 1))
+            if packed:
+                noise = space_to_depth2(noise)  # [B,H,W,4] or [B,H,W,4C]
+                if noise.shape[-1] != x.shape[-1]:
+                    noise = jnp.repeat(noise, x.shape[-1] // 4, axis=-1)
         return x + weight.astype(x.dtype) * noise.astype(x.dtype)
 
 
@@ -189,10 +231,19 @@ class StyledConv(nn.Module):
             self.out_channel, channels_last=self.channels_last, name="activate"
         )
 
-    def __call__(self, x, style, mask, noise=None, deterministic=False):
-        out = self.conv(x, style, mask=mask if self.mask_op else None)
-        out = self.noise(out, noise=noise, deterministic=deterministic)
-        return self.activate(out)
+    def __call__(
+        self, x, style, mask, noise=None, deterministic=False,
+        packed_in=False, packed_out=False,
+    ):
+        packed = packed_in or packed_out
+        out = self.conv(
+            x, style, mask=None if packed else (mask if self.mask_op else None),
+            packed_in=packed_in, packed_out=packed_out,
+        )
+        out = self.noise(
+            out, noise=noise, deterministic=deterministic, packed=packed
+        )
+        return self.activate(out, packed=packed)
 
 
 class ToRGB(nn.Module):
@@ -217,7 +268,21 @@ class ToRGB(nn.Module):
         )
         self.bias = self.param("bias", nn.initializers.zeros, (1, 3, 1, 1))
 
-    def __call__(self, x, style, mask, skip=None):
+    def __call__(self, x, style, mask, skip=None, packed=False):
+        """``packed``: x is space-to-depth packed [B,H,W,4Ci]; the returned
+        skip is packed RGB [B,H,W,12] (phase-major). ``skip`` arrives
+        UNPACKED at the pre-upsample resolution — its 2x FIR upsample is
+        emitted directly in packed form (exact polyphase)."""
+        if packed:
+            out = self.conv(x, style, mask=None, packed_in=True)
+            out = out + jnp.tile(
+                self.bias.reshape(3), 4
+            ).reshape(1, 1, 1, 12).astype(out.dtype)
+            if skip is not None:
+                out = out + upsample2_packed(
+                    skip, tuple(self.blur_kernel)
+                ).astype(out.dtype)
+            return out
         out = self.conv(x, style, mask=mask if self.mask_op else None)
         bias = (
             self.bias.reshape(1, 1, 1, 3) if self.channels_last else self.bias
@@ -443,9 +508,35 @@ class Generator(nn.Module):
                 else:
                     skip = to_rgb(out, latent[:, 0, i + 2], mask, skip)
             else:
-                out = conv1(out, latent[:, 0, i], mask, noise=noise1)
-                out = conv2(out, latent[:, 0, i + 1], mask, noise=noise2)
-                skip = to_rgb(out, latent[:, 0, i + 2], mask, skip)
+                # Packed (space-to-depth) tail: unmasked octaves at
+                # >= E4S_TPU_PACKED_MIN_RES run at half spatial resolution
+                # with 4x channels (exact relabeling — see e4s_tpu.ops.modconv
+                # packed-domain section), sidestepping XLA:TPU's lane padding
+                # of the small-channel high-res layers (measured ~2.3x on the
+                # 32-channel 1024^2 convs; default threshold 1024 — the
+                # 64-channel 512^2 octave measured a wash).
+                pk = (
+                    self.channels_last
+                    and not (conv1.mask_op or conv2.mask_op or to_rgb.mask_op)
+                    and 2 ** (idx + 3) >= packed_tail_min_res()
+                    and packed_tail_wanted()
+                )
+                outp = conv1(
+                    out, latent[:, 0, i], mask, noise=noise1, packed_out=pk
+                )
+                outp = conv2(
+                    outp, latent[:, 0, i + 1], mask, noise=noise2, packed_in=pk
+                )
+                skip = to_rgb(outp, latent[:, 0, i + 2], mask, skip, packed=pk)
+                if pk:
+                    skip = depth_to_space2(skip)
+                    # unpack the features only if another octave consumes them
+                    out = (
+                        depth_to_space2(outp)
+                        if idx < len(self.to_rgbs) - 1 else outp
+                    )
+                else:
+                    out = outp
             i += 2
 
         image = skip

@@ -481,7 +481,7 @@ def _up_stacked_wanted() -> bool:
     (E4S_TPU_UP_STACKED=1 enables; default OFF). The dense [4Co,Ci,3,3]
     conv trades 4x MACs for full-lane MXU contractions and drops the convT
     zero-stuffing + depthwise blur passes — but an interleaved A/B on v5e
-    (scripts/ab_up_stacked.py, 1024² bf16 synthesis) measured it at 16.36ms
+    (scripts/ab_synthesis.py, 1024² bf16 synthesis) measured it at 16.36ms
     vs 15.79ms for convT+blur across all rounds, so XLA's convT lowering
     wins and this stays an opt-in."""
     return os.environ.get("E4S_TPU_UP_STACKED", "") == "1"
@@ -507,27 +507,12 @@ def modulated_conv2d_nhwc(
             # no zero-stuffed conv_transpose, no separate depthwise blur
             # pass, and the MXU contraction stays at Ci (the tail octaves'
             # convT would otherwise run at Co=64/32 output lanes).
-            bk = make_kernel(blur_kernel) * 4.0
-            E = _composite_up_kernel(w_scaled, bk)  # [Co,Ci,6,6]
-            K = jnp.concatenate(
-                [
-                    E[:, :, (a + 4, a + 2, a), :][:, :, :, (b + 4, b + 2, b)]
-                    for a in (0, 1)
-                    for b in (0, 1)
-                ],
-                axis=0,
-            )  # [4Co, Ci, 3, 3], phase-major (a,b)
-            out = convops.conv2d(xm, K, padding=1, channels_last=True)
-            Co = w_scaled.shape[0]
-            if demodulate:
-                d = demod_coeff(w_scaled, s)  # [B,Co]
-                out = out * jnp.tile(d, (1, 4))[:, None, None, :].astype(
-                    out.dtype
+            return depth_to_space2(
+                modulated_conv2d_nhwc_up_packed(
+                    x, w_scaled, s, demodulate=demodulate,
+                    blur_kernel=blur_kernel,
                 )
-            B, H, W, _ = out.shape
-            out = out.reshape(B, H, W, 2, 2, Co)  # [B,H,W,a,b,Co]
-            out = out.transpose(0, 1, 3, 2, 4, 5)  # [B,H,a,W,b,Co]
-            return out.reshape(B, 2 * H, 2 * W, Co)
+            )
         out = convops.conv_transpose2d(
             xm, jnp.swapaxes(w_scaled, 0, 1), stride=2, padding=0,
             channels_last=True,
@@ -555,6 +540,155 @@ def modulated_conv2d_nhwc(
         d = demod_coeff(w_scaled, s)
         out = out * d[:, None, None, :].astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed (space-to-depth) tail domain.
+#
+# At the 1024^2 octave the generator runs 32-channel NHWC convs; XLA:TPU pads
+# the lane (channel) dimension to 128, so those layers read/write 4x the
+# bytes their data needs and the octave is ~2.3x off the equivalent dense
+# 128-lane conv (measured: 3x3 conv at [1,1024,1024,32] 2.72ms vs the same
+# math packed as [1,512,512,128] 1.20ms on v5e, chained in-program). The fix
+# is to run the whole final octave in the space-to-depth domain: half the
+# spatial extent, 4x the channels (phase-major (a,b), original channel
+# minor), one depth-to-space at the very end. Every op below is EXACT — the
+# packing is a relabeling of the same math:
+#   - the upsampling modconv already decomposes into 4 polyphase 3x3 kernels
+#     (see masked_modulated_conv2d); emitting them stacked along Co *is* the
+#     packed output.
+#   - a stride-1 3x3 conv on [2H,2W] becomes a 3x3 conv on [H,W] with a
+#     [4Co,4Ci] kernel whose (phase_out, phase_in) blocks are the original
+#     taps rearranged (structured zeros; 4x dense MACs, but the MXU has the
+#     headroom and HBM traffic drops 4x).
+#   - ToRGB (1x1) acts per phase; the skip 2x-upsample's polyphase form is a
+#     tiny 3x3 conv emitting all 4 phases.
+# ---------------------------------------------------------------------------
+
+
+def packed_tail_min_res() -> int:
+    """Octave output resolution at which the packed tail engages (default
+    1024 — measured win only where channels drop to 32; 512^2/64ch is a
+    wash). Tests lower it via E4S_TPU_PACKED_MIN_RES to exercise the path
+    on tiny generators."""
+    return int(os.environ.get("E4S_TPU_PACKED_MIN_RES", "1024"))
+
+
+def packed_tail_wanted() -> bool:
+    """E4S_TPU_PACKED_TAIL=0 disables, =1 forces; default: TPU backend
+    (the lane-padding economics are TPU-specific)."""
+    v = os.environ.get("E4S_TPU_PACKED_TAIL", "")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) != "tpu":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def space_to_depth2(x):
+    """[B,2H,2W,C] -> [B,H,W,4C], phase-major: out[..., (a*2+b)*C + c] =
+    x[:, 2i+a, 2j+b, c]."""
+    B, H2, W2, C = x.shape
+    H, W = H2 // 2, W2 // 2
+    x = x.reshape(B, H, 2, W, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B,H,W,a,b,C]
+    return x.reshape(B, H, W, 4 * C)
+
+
+def depth_to_space2(x):
+    """Inverse of :func:`space_to_depth2`: [B,H,W,4C] -> [B,2H,2W,C]."""
+    B, H, W, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, H, W, 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B,H,a,W,b,C]
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def modulated_conv2d_nhwc_up_packed(
+    x, w_scaled, s, *, demodulate=True, blur_kernel=(1, 3, 3, 1)
+):
+    """Upsampling modconv with PACKED output.
+
+    x: [B,H,W,Ci] (unpacked); returns [B,H,W,4Co] == space_to_depth2 of the
+    2x-upsampled result. This is the stacked-polyphase decomposition of
+    blur∘convT(stride2) (exact; phase kernels of the 6x6 composite) without
+    the final depth-to-space.
+    """
+    assert w_scaled.shape[-1] == 3 and len(blur_kernel) == 4
+    xm = x * s[:, None, None, :].astype(x.dtype)
+    bk = make_kernel(blur_kernel) * 4.0
+    E = _composite_up_kernel(w_scaled, bk)  # [Co,Ci,6,6]
+    K = jnp.concatenate(
+        [
+            E[:, :, (a + 4, a + 2, a), :][:, :, :, (b + 4, b + 2, b)]
+            for a in (0, 1)
+            for b in (0, 1)
+        ],
+        axis=0,
+    )  # [4Co, Ci, 3, 3], phase-major (a,b), Co minor
+    out = convops.conv2d(xm, K, padding=1, channels_last=True)
+    if demodulate:
+        d = demod_coeff(w_scaled, s)  # [B,Co]
+        out = out * jnp.tile(d, (1, 4))[:, None, None, :].astype(out.dtype)
+    return out
+
+
+def _packed_stride1_kernel(w):
+    """Packed-domain kernel for a stride-1 3x3 conv: [Co,Ci,3,3] ->
+    [4Co,4Ci,3,3] OIHW with structured zeros.
+
+    Output phase a, tap u of the original kernel reads original row
+    2i+a+u-1 = packed row i+t of input phase c, where s=a+u-1, c=s mod 2,
+    t=(s-c)//2 — i.e. packed tap index u'=t+1 of a SAME-padded 3x3 conv.
+    The (a,u)->(u',c) map is injective per a, so this is a pure scatter.
+    """
+    Co, Ci, kh, kw = w.shape
+    assert (kh, kw) == (3, 3)
+    K = jnp.zeros((4, Co, 4, Ci, 3, 3), w.dtype)
+    for a in (0, 1):
+        for u in range(3):
+            sa = a + u - 1
+            ca, ta = sa % 2, (sa - (sa % 2)) // 2
+            for b in (0, 1):
+                for v in range(3):
+                    sb = b + v - 1
+                    cb, tb = sb % 2, (sb - (sb % 2)) // 2
+                    K = K.at[a * 2 + b, :, ca * 2 + cb, :, ta + 1, tb + 1].set(
+                        w[:, :, u, v]
+                    )
+    return K.reshape(4 * Co, 4 * Ci, 3, 3)
+
+
+def modulated_conv2d_nhwc_packed(xp, w_scaled, s, *, demodulate=True):
+    """Stride-1 3x3 modconv entirely in the packed domain.
+
+    xp: [B,H,W,4Ci] (space_to_depth2 of [B,2H,2W,Ci]); returns [B,H,W,4Co].
+    Exactly equals space_to_depth2(modulated_conv2d_nhwc(depth_to_space2(xp))).
+    """
+    xm = xp * jnp.tile(s, (1, 4))[:, None, None, :].astype(xp.dtype)
+    K = _packed_stride1_kernel(w_scaled)
+    out = convops.conv2d(xm, K, padding=1, channels_last=True)
+    if demodulate:
+        d = demod_coeff(w_scaled, s)
+        out = out * jnp.tile(d, (1, 4))[:, None, None, :].astype(out.dtype)
+    return out
+
+
+def torgb_nhwc_packed(xp, w_scaled, s):
+    """1x1 modulated conv (no demod) in the packed domain.
+
+    xp: [B,H,W,4Ci]; returns [B,H,W,4*3] packed RGB. A 1x1 conv acts per
+    phase, so this is one einsum over the channel-minor axis.
+    """
+    B, H, W, Ci4 = xp.shape
+    Ci = Ci4 // 4
+    xm = xp * jnp.tile(s, (1, 4))[:, None, None, :].astype(xp.dtype)
+    w1 = w_scaled[:, :, 0, 0].T.astype(xp.dtype)  # [Ci, 3]
+    out = jnp.einsum("bhwpi,io->bhwpo", xm.reshape(B, H, W, 4, Ci), w1)
+    return out.reshape(B, H, W, 12)
 
 
 def masked_torgb_nhwc(x, w_scaled, s, mask):

@@ -154,6 +154,45 @@ def upsample2(x, kernel=(1, 3, 3, 1), factor: int = 2, channels_last: bool = Fal
                      channels_last=channels_last)
 
 
+def upsample2_packed(x, kernel=(1, 3, 3, 1)):
+    """2x FIR upsample emitting the PACKED (space-to-depth) result.
+
+    x: [B,H,W,C] NHWC; returns [B,H,W,4C] == space_to_depth2(upsample2(x)),
+    phase-major (a,b), C minor. Used by the packed generator tail (see
+    e4s_tpu.ops.modconv packed-domain section) for the ToRGB skip upsample.
+
+    Derivation: upsample2 computes y(q) = sum_j k[j]·xz(q+1-j) with the
+    4-tap kernel (up=2, pad=(2,1), correlation with the flipped kernel).
+    Per output phase a (q=2i+a) only taps of one parity survive:
+      y(2i)   = k[1]·x(i) + k[3]·x(i-1)
+      y(2i+1) = k[2]·x(i) + k[0]·x(i+1)
+    i.e. per phase a a SAME-padded 3-tap conv with kernel
+      a=0: [k3, k1, 0]    a=1: [0, k2, k0].
+    """
+    assert len(kernel) == 4, "packed upsample specialised to 4-tap blurs"
+    # make_kernel semantics in host numpy (kernel is static; building the
+    # taps with jnp would trace them and break the np scatter below)
+    k1 = np.asarray(kernel, np.float32)
+    k2d = np.outer(k1, k1)
+    k2d = k2d / k2d.sum() * 4.0  # [4,4], x4 upsample gain
+    C = x.shape[-1]
+    # per-axis tap map: phase a -> {conv tap m: FIR tap j}
+    taps = ({0: 3, 1: 1}, {1: 2, 2: 0})
+    K = np.zeros((4, C, C, 3, 3), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            for m1, j1 in taps[a].items():
+                for m2, j2 in taps[b].items():
+                    for c in range(C):
+                        K[a * 2 + b, c, c, m1, m2] = k2d[j1, j2]
+    Kt = jnp.asarray(K.reshape(4 * C, C, 3, 3))
+    out = lax.conv_general_dilated(
+        x, Kt.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    return out
+
+
 def downsample2(x, kernel=(1, 3, 3, 1), factor: int = 2, channels_last: bool = False):
     """2x downsample with FIR anti-aliasing. ref: model.py:56-75"""
     k = make_kernel(kernel)

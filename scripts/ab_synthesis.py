@@ -1,10 +1,13 @@
-"""Interleaved same-process A/B of the stacked-polyphase unmasked up-conv.
+"""Interleaved same-process A/B of a synthesis-path dispatch env knob.
 
-Traces the masked-synthesis stage twice in one process (E4S_TPU_UP_STACKED
+Traces the masked-synthesis stage twice in one process (the env knob is
 read at trace time), then alternates timed rounds A,B,A,B,... so axon
 tunnel drift hits both variants equally. Reports per-round means and the
 min-of-means per variant (min is the right statistic on a noisy shared
 tunnel).
+
+AB_ENV picks the knob (default E4S_TPU_UP_STACKED; e.g. set
+AB_ENV=E4S_TPU_PACKED_TAIL to A/B the packed tail).
 """
 
 import json
@@ -19,6 +22,7 @@ import numpy as np
 ITERS = int(os.environ.get("AB_ITERS", "20"))
 ROUNDS = int(os.environ.get("AB_ROUNDS", "4"))
 OUT_SIZE = int(os.environ.get("AB_OUT_SIZE", "1024"))
+AB_ENV = os.environ.get("AB_ENV", "E4S_TPU_UP_STACKED")
 
 
 def main():
@@ -80,7 +84,7 @@ def main():
 
     fns = {}
     for name, env in (("off", "0"), ("on", "1")):
-        os.environ["E4S_TPU_UP_STACKED"] = env
+        os.environ[AB_ENV] = env
         f = mk_synth()
         sync(f(variables, struc, codes, onehot))  # compile
         for _ in range(2):
@@ -102,7 +106,7 @@ def main():
             )
 
     print(json.dumps({
-        "metric": "up_stacked_ab",
+        "metric": "synthesis_ab", "env": AB_ENV,
         "out_size": OUT_SIZE,
         "iters": ITERS,
         "rounds_off_ms": [round(v, 3) for v in rounds["off"]],

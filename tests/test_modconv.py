@@ -222,3 +222,129 @@ def test_unmasked_up_stacked_equals_convt(demodulate, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed (space-to-depth) tail domain
+# ---------------------------------------------------------------------------
+
+
+def test_space_depth_roundtrip():
+    from e4s_tpu.ops.modconv import depth_to_space2, space_to_depth2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 10, 6).astype(np.float32))
+    p = space_to_depth2(x)
+    assert p.shape == (2, 4, 5, 24)
+    np.testing.assert_array_equal(np.asarray(depth_to_space2(p)), np.asarray(x))
+    # phase-major layout: packed[..., (a*2+b)*C + c] == x[:, 2i+a, 2j+b, c]
+    np.testing.assert_array_equal(
+        np.asarray(p[0, 1, 2, 6 + 3]), np.asarray(x[0, 2, 5, 3])
+    )
+
+
+@pytest.mark.parametrize("demodulate", [True, False])
+def test_packed_up_conv_equals_unpacked(demodulate):
+    from e4s_tpu.ops.modconv import (
+        modulated_conv2d_nhwc,
+        modulated_conv2d_nhwc_up_packed,
+        space_to_depth2,
+    )
+
+    x, w, s, _ = _mk_inputs()
+    s1 = s[:, 0]
+    xl = jnp.transpose(x, (0, 2, 3, 1))
+    want = space_to_depth2(
+        modulated_conv2d_nhwc(xl, w, s1, up=True, demodulate=demodulate)
+    )
+    got = modulated_conv2d_nhwc_up_packed(xl, w, s1, demodulate=demodulate)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("demodulate", [True, False])
+def test_packed_stride1_conv_equals_unpacked(demodulate):
+    from e4s_tpu.ops.modconv import (
+        modulated_conv2d_nhwc,
+        modulated_conv2d_nhwc_packed,
+        depth_to_space2,
+        space_to_depth2,
+    )
+
+    x, w, s, _ = _mk_inputs()
+    s1 = s[:, 0]
+    xl = jnp.transpose(x, (0, 2, 3, 1))
+    want = modulated_conv2d_nhwc(xl, w, s1, demodulate=demodulate)
+    got = depth_to_space2(
+        modulated_conv2d_nhwc_packed(
+            space_to_depth2(xl), w, s1, demodulate=demodulate
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_packed_torgb_equals_unpacked():
+    from e4s_tpu.ops.modconv import (
+        depth_to_space2,
+        space_to_depth2,
+        torgb_nhwc_packed,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 16, 1, 1) * 0.1).astype(np.float32))
+    s = jnp.asarray((rng.rand(2, 16) + 0.5).astype(np.float32))
+    xm = x * s[:, None, None, :]
+    want = jnp.einsum("bhwi,io->bhwo", xm, w[:, :, 0, 0].T)
+    got = depth_to_space2(torgb_nhwc_packed(space_to_depth2(x), w, s))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_upsample2_packed_equals_upsample2():
+    from e4s_tpu.ops.modconv import space_to_depth2
+    from e4s_tpu.ops.upfirdn2d import upsample2, upsample2_packed
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 9, 7, 3).astype(np.float32))
+    want = space_to_depth2(upsample2(x, channels_last=True))
+    got = upsample2_packed(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_packed_stride1_grads_equal_unpacked():
+    """Training differentiates the packed tail; grads must match the
+    unpacked formulation (both are plain XLA ops — this guards the packed
+    kernel scatter construction's differentiability and correctness)."""
+    import jax
+
+    from e4s_tpu.ops.modconv import (
+        depth_to_space2,
+        modulated_conv2d_nhwc,
+        modulated_conv2d_nhwc_packed,
+        space_to_depth2,
+    )
+
+    x, w, s, _ = _mk_inputs()
+    s1 = s[:, 0]
+    xl = jnp.transpose(x, (0, 2, 3, 1))
+
+    def loss_unpacked(xl, w, s1):
+        return jnp.sum(modulated_conv2d_nhwc(xl, w, s1) ** 2)
+
+    def loss_packed(xl, w, s1):
+        out = modulated_conv2d_nhwc_packed(space_to_depth2(xl), w, s1)
+        return jnp.sum(depth_to_space2(out) ** 2)
+
+    g_want = jax.grad(loss_unpacked, argnums=(0, 1, 2))(xl, w, s1)
+    g_got = jax.grad(loss_packed, argnums=(0, 1, 2))(xl, w, s1)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )

@@ -172,3 +172,81 @@ def test_net3_forward_equals_manual_pipeline(net3_setup):
     np.testing.assert_allclose(
         np.asarray(out_direct), np.asarray(out_manual), rtol=1e-5, atol=1e-5
     )
+
+
+def test_packed_tail_equals_unpacked(gen_setup, monkeypatch):
+    """The packed (space-to-depth) final octave is an exact relabeling: the
+    NHWC generator with the packed tail forced on must reproduce the plain
+    NHWC output (registered noise buffers, full generator)."""
+    gen, variables, latent, mask = gen_setup
+    gen_cl = Generator(size=SIZE, remaining_layer_idx=K, channels_last=True)
+    monkeypatch.setenv("E4S_TPU_PACKED_TAIL", "0")
+    want, _, _ = gen_cl.apply(
+        variables, [latent], None, mask,
+        input_is_latent=True, randomize_noise=False,
+    )
+    monkeypatch.setenv("E4S_TPU_PACKED_TAIL", "1")
+    monkeypatch.setenv("E4S_TPU_PACKED_MIN_RES", "8")
+    got, _, _ = gen_cl.apply(
+        variables, [latent], None, mask,
+        input_is_latent=True, randomize_noise=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_packed_tail_multi_octave_equals_unpacked(monkeypatch):
+    """With a lower K, TWO octaves are unmasked and packing engages on a
+    non-final octave too — covering the inter-octave depth-to-space handoff
+    (features unpacked for the next octave's consumption)."""
+    gen_cl = Generator(size=SIZE, remaining_layer_idx=5, channels_last=True)
+    rng = np.random.RandomState(3)
+    latent = jnp.asarray(rng.randn(1, R, 10, 512).astype(np.float32) * 0.1)
+    mask = _onehot_mask(rng, 1, SIZE)
+    monkeypatch.setenv("E4S_TPU_PACKED_TAIL", "0")
+    variables = gen_cl.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        [latent], None, mask, input_is_latent=True, randomize_noise=False,
+    )
+    want, _, _ = gen_cl.apply(
+        variables, [latent], None, mask,
+        input_is_latent=True, randomize_noise=False,
+    )
+    monkeypatch.setenv("E4S_TPU_PACKED_TAIL", "1")
+    monkeypatch.setenv("E4S_TPU_PACKED_MIN_RES", "8")
+    got, _, _ = gen_cl.apply(
+        variables, [latent], None, mask,
+        input_is_latent=True, randomize_noise=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.parametrize("noise_channels", [1, 24])
+def test_styledconv_packed_supplied_noise(noise_channels, monkeypatch):
+    """StyledConv packed path with caller-supplied noise (public NCHW
+    contract: [B,1,H,W] buffers or full-channel [B,C,H,W] — the edit
+    pipeline's fixed noise) must equal the unpacked NHWC path."""
+    from e4s_tpu.models.stylegan2 import StyledConv
+    from e4s_tpu.ops.modconv import depth_to_space2
+
+    rng = np.random.RandomState(4)
+    B, Ci, Co, H = 2, 16, 24, 8
+    x = jnp.asarray(rng.randn(B, H, H, Ci).astype(np.float32))
+    style = jnp.asarray(rng.randn(B, 512).astype(np.float32))
+    noise = jnp.asarray(
+        rng.randn(B, noise_channels, 2 * H, 2 * H).astype(np.float32)
+    )
+    m = StyledConv(Ci, Co, 3, 512, upsample=True, channels_last=True)
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0)}, x, style, None, noise=noise
+    )
+    want = m.apply(variables, x, style, None, noise=noise)
+    got = depth_to_space2(
+        m.apply(variables, x, style, None, noise=noise, packed_out=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
