@@ -71,8 +71,18 @@ class EqualConv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_channel = x.shape[1]
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        packed_in: bool = False,
+        fold_blur_down=None,
+    ) -> jnp.ndarray:
+        """``packed_in``: x is space-to-depth packed NHWC [B,H,W,4Ci] (see
+        e4s_tpu.ops.packed). A stride-1 call returns packed [B,H,W,4Co];
+        with ``fold_blur_down`` (the blur taps) the layer computes the
+        blur + stride-2 composite and returns UNPACKED NHWC [B,H,W,Co].
+        Params are identical in all modes."""
+        in_channel = x.shape[-1] // 4 if packed_in else x.shape[1]
         weight = self.param(
             "weight",
             nn.initializers.normal(stddev=1.0),
@@ -84,6 +94,16 @@ class EqualConv2d(nn.Module):
             if self.use_bias
             else None
         )
+        if packed_in:
+            from e4s_tpu.ops.packed import packed_conv2d_down2, packed_conv2d_s1
+
+            if fold_blur_down is not None:
+                assert self.stride == 2 and self.padding == 0
+                return packed_conv2d_down2(
+                    x, weight * scale, blur_kernel=fold_blur_down, bias=bias
+                )
+            assert self.stride == 1 and self.padding == self.kernel_size // 2
+            return packed_conv2d_s1(x, weight * scale, bias=bias)
         return convops.conv2d(
             x, weight * scale, bias=bias, stride=self.stride, padding=self.padding
         )
@@ -127,12 +147,17 @@ class ConvLayer(nn.Module):
     activate: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed_in: bool = False) -> jnp.ndarray:
+        """``packed_in``: x is space-to-depth packed NHWC (see
+        e4s_tpu.ops.packed). Non-downsample layers stay in the packed
+        domain; downsample layers fold the blur into the stride-2 conv and
+        return UNPACKED NHWC. Params identical in all modes."""
         if self.downsample:
             p = (len(self.blur_kernel) - 2) + (self.kernel_size - 1)
             pad0 = (p + 1) // 2
             pad1 = p // 2
-            x = blur_op(x, self.blur_kernel, pad=(pad0, pad1))
+            if not packed_in:
+                x = blur_op(x, self.blur_kernel, pad=(pad0, pad1))
             stride, padding = 2, 0
         else:
             stride, padding = 1, self.kernel_size // 2
@@ -143,10 +168,21 @@ class ConvLayer(nn.Module):
             padding=padding,
             use_bias=self.use_bias and not self.activate,
             name="conv",
-        )(x)
+        )(
+            x,
+            packed_in=packed_in,
+            fold_blur_down=(
+                tuple(self.blur_kernel) if packed_in and self.downsample else None
+            ),
+        )
+        # after a packed downsample the tensor is unpacked NHWC
+        out_packed = packed_in and not self.downsample
+        out_nhwc = packed_in and self.downsample
         if self.activate:
             if self.use_bias:
-                x = FusedLeakyReLU(self.out_channel, name="activate")(x)
+                x = FusedLeakyReLU(
+                    self.out_channel, channels_last=out_nhwc, name="activate"
+                )(x, packed=out_packed)
             else:
                 x = scaled_leaky_relu(x)
         return x

@@ -560,13 +560,20 @@ class ResBlock(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
 
     @nn.compact
-    def __call__(self, x):
-        out = ConvLayer(self.in_channel, 3, name="conv1")(x)
-        out = ConvLayer(self.out_channel, 3, downsample=True, name="conv2")(out)
+    def __call__(self, x, packed_in: bool = False):
+        """``packed_in``: x is space-to-depth packed NHWC [B,H,W,4Ci] (see
+        e4s_tpu.ops.packed); the block then runs entirely in the packed
+        domain — the downsample convs consume packed input directly (blur
+        folded into the stride-2 composite) — and returns UNPACKED NHWC
+        [B,H,W,Co]. Exact; params identical either way."""
+        out = ConvLayer(self.in_channel, 3, name="conv1")(x, packed_in=packed_in)
+        out = ConvLayer(self.out_channel, 3, downsample=True, name="conv2")(
+            out, packed_in=packed_in
+        )
         skip = ConvLayer(
             self.out_channel, 1, downsample=True, activate=False, use_bias=False,
             name="skip",
-        )(x)
+        )(x, packed_in=packed_in)
         return (out + skip) / math.sqrt(2)
 
 
@@ -584,13 +591,41 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from e4s_tpu.ops.packed import (
+            packed_d_max_ch,
+            packed_d_wanted,
+            space_to_depth2,
+        )
+
         channels = generator_channels(self.channel_multiplier)
         log_size = int(math.log2(self.size))
-        out = ConvLayer(channels[self.size], 1, name="convs_0")(x)
         in_channel = channels[self.size]
+
+        # Packed (space-to-depth) head: blocks whose input channel count is
+        # below the 128-lane width run in the packed domain (half spatial,
+        # 4x channels — exact relabeling, see e4s_tpu.ops.packed), dodging
+        # XLA:TPU's lane padding of the 32/64-channel 1024^2/512^2 layers.
+        pk_ch = packed_d_max_ch() if packed_d_wanted() else 0
+        pk = in_channel < pk_ch and self.size >= 8
+        if pk:
+            xin = space_to_depth2(jnp.transpose(x, (0, 2, 3, 1)))
+        else:
+            xin = x
+        out = ConvLayer(in_channel, 1, name="convs_0")(xin, packed_in=pk)
         for k, i in enumerate(range(log_size, 2, -1)):
             out_channel = channels[2 ** (i - 1)]
-            out = ResBlock(in_channel, out_channel, name=f"convs_{k + 1}")(out)
+            out = ResBlock(in_channel, out_channel, name=f"convs_{k + 1}")(
+                out, packed_in=pk
+            )
+            if pk:
+                # ResBlock returned unpacked NHWC; re-pack for the next
+                # block while it still qualifies, else back to NCHW.
+                pk = i > 3 and out_channel < pk_ch and 2 ** (i - 1) >= 8
+                out = (
+                    space_to_depth2(out)
+                    if pk
+                    else jnp.transpose(out, (0, 3, 1, 2))
+                )
             in_channel = out_channel
 
         B, C, H, W = out.shape
