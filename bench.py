@@ -152,8 +152,42 @@ def _load_example_pair():
     return load("source.jpg"), load("target.jpg")
 
 
+def _bench_e2e_full(iters):
+    """TRUE BASELINE config #1: the reference's default swap always runs
+    FaceVid2Vid re-enactment + GPEN restoration before the core
+    (ref: scripts/face_swap.py:203-215). Weights don't exist in this image,
+    but random-init networks cost exactly the same FLOPs/transfers, so this
+    prices the full pipeline honestly. force_one_face keeps the per-face
+    GPEN+ParseNet path running (a random-init RetinaFace detects nothing).
+    """
+    from e4s_tpu.models.facevid2vid.driver import build_reenactor
+    from e4s_tpu.models.gpen.face_enhancement import build_restorer
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    reenactor = build_reenactor(None, None)  # random init, native 256^2 out
+    restorer = build_restorer(
+        {"in_size": 512, "use_sr": True, "sr_scale": 4,
+         "force_one_face": True},
+    )
+    swapper = FaceSwapper(_swap_opts(), reenactor=reenactor, restorer=restorer)
+    S01, T01 = _load_example_pair()
+    swapper.swap_from_arrays(S01, T01)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        swapper.swap_from_arrays(S01, T01)
+    per_iter = (time.perf_counter() - t0) / iters
+
+    lat = []
+    for _ in range(min(iters, 5)):
+        t0 = time.perf_counter()
+        swapper.swap_from_arrays(S01, T01)
+        lat.append(time.perf_counter() - t0)
+    return 1.0 / per_iter, float(np.median(lat))
+
+
 def _bench_e2e(iters):
-    """End-to-end swaps/sec on the example pair (BASELINE config #1)."""
+    """End-to-end swaps/sec on the example pair, core stages only (no
+    reenact/restore) — the reduced config kept as a secondary metric."""
     from e4s_tpu.pipelines.face_swap import FaceSwapper
 
     swapper = FaceSwapper(_swap_opts())
@@ -278,6 +312,169 @@ def _bench_inversion(steps):
     return steps / dt
 
 
+# --------------------------- training throughput ---------------------------
+
+
+def _bench_training(steps=None):
+    """train_img_per_sec_per_chip: real Coach G steps (+ D every 15, ref
+    cadence train_options.py:37) at 1024^2 mixed-precision on synthetic data.
+    Asserts the G loss trend is downward and the jitted steps never retrace.
+    Ref budget: ~2 days / 300K iters on 8xA100 (README.md:150-163)."""
+    import types as _t
+
+    import jax
+
+    from e4s_tpu.datasets.dataset import SyntheticFaceDataset, label_map_to_onehot
+    from e4s_tpu.parallel.mesh import shard_batch
+    from e4s_tpu.training.coach import Coach
+
+    steps = steps or int(os.environ.get("BENCH_TRAIN_STEPS", "200"))
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))  # ref per-GPU batch
+    opts = _t.SimpleNamespace(
+        exp_dir="/tmp/e4s_tpu_bench_train", num_seg_cls=12, out_size=OUT_SIZE,
+        remaining_layer_idx=13, n_styles=18, fast_masked=True,
+        channels_last=True, start_from_latent_avg=True, learn_in_w=False,
+        train_G=True, train_D=True, n_devices=1, d_reg_every=-1, d_every=15,
+        max_steps=steps, board_interval=10**9, val_interval=10**9,
+        save_interval=10**9, image_interval=10**9, seed=0, learning_rate=1e-4,
+        optim_name="ranger", batch_size=B, dataset_name="synthetic",
+        ds_frac=1.0, flip_p=0.5, lpips_lambda=0.8, id_lambda=0.1,
+        id_loss_multiscale=True, face_parsing_lambda=0.1, l2_lambda=1.0,
+        w_norm_lambda=0.0, r1_lambda=10.0, g_adv_lambda=0.01, style_lambda=0.0,
+        style_loss_norm=1, latent_avg_samples=1024, mixed_precision=BF16,
+    )
+    coach = Coach(opts)
+    ds = SyntheticFaceDataset(size=OUT_SIZE, num_seg_cls=12)
+    imgs, labels = zip(*[(ds[i][0], ds[i][1]) for i in range(B)])
+    img = np.stack(imgs).astype(np.float32)
+    label = np.stack(labels).astype(np.int32)
+    onehot = label_map_to_onehot(label, 12)
+    img, label, onehot = shard_batch((img, label, onehot), coach.mesh)
+
+    rng = jax.random.PRNGKey(0)
+    g_losses = []
+    # warmup: one D + one G step (compiles both programs)
+    coach.state, _ = coach._compiled_d(coach.state, img, onehot, rng)
+    coach.state, l0 = coach._compiled_g(coach.state, img, label, onehot, rng)
+    _sync(l0["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, k = jax.random.split(rng)
+        if (i + 1) % 15 == 0:
+            coach.state, _ = coach._compiled_d(coach.state, img, onehot, k)
+        coach.state, losses = coach._compiled_g(
+            coach.state, img, label, onehot, k
+        )
+        g_losses.append(losses["loss"])
+    first = float(np.mean([_sync(x) for x in g_losses[:20]]))
+    last = float(np.mean([_sync(x) for x in g_losses[-20:]]))
+    dt = time.perf_counter() - t0
+
+    retraces = 0
+    for fn in (coach._compiled_g, coach._compiled_d):
+        n = getattr(fn, "_cache_size", lambda: 1)()
+        retraces += max(0, n - 1)
+    return {
+        "img_per_sec": steps * B / dt,
+        "sec_per_step": dt / steps,
+        "loss_first20": first,
+        "loss_last20": last,
+        "loss_decreased": bool(last < first),
+        "retraces": retraces,
+        "steps": steps,
+        "batch": B,
+    }
+
+
+# ----------------------- true torch reference baseline ----------------------
+
+
+TORCH_REF_CACHE = os.path.join(REPO, ".bench_torch_ref_baseline.json")
+
+
+def _torch_reference_baseline():
+    """The ACTUAL PyTorch reference swap core on CPU: style extraction x2 +
+    texture-code swap + mask-guided synthesis (scripts/face_swap.py:228-258),
+    fp32 eval, random init (identical cost to real weights). Imported from
+    /root/reference with the CUDA op package stubbed pure-torch
+    (tests/ref_loader.py). Cached: a single 1024^2 forward takes ~minutes."""
+    if (
+        os.path.exists(TORCH_REF_CACHE)
+        and not os.environ.get("BENCH_REDO_TORCH_REF")
+    ):
+        try:
+            with open(TORCH_REF_CACHE) as f:
+                d = json.load(f)
+            if d.get("out_size") == OUT_SIZE:
+                return d
+        except Exception:
+            pass
+    if os.environ.get("BENCH_SKIP_TORCH_REF"):
+        return None
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import ref_loader
+
+    ref_loader.install()
+    import torch
+    import types as _t
+
+    from src.models.networks import Net3 as TNet3
+
+    R, K = 12, 13
+    topts = _t.SimpleNamespace(
+        fsencoder_type="psp", num_seg_cls=R, remaining_layer_idx=K,
+        out_size=OUT_SIZE, train_G=False, start_from_latent_avg=True,
+        learn_in_w=False,
+    )
+    torch.manual_seed(0)
+    tnet = TNet3(topts).eval()
+    n_latent = 2 * int(np.log2(OUT_SIZE)) - 2
+    tnet.latent_avg = torch.zeros(n_latent, 512)
+
+    g = np.random.RandomState(0)
+    driven = torch.tensor(g.rand(1, 3, OUT_SIZE, OUT_SIZE).astype(np.float32))
+    target = torch.tensor(g.rand(1, 3, OUT_SIZE, OUT_SIZE).astype(np.float32))
+    lab = (g.rand(OUT_SIZE, OUT_SIZE) * R).astype(np.int32)
+    onehot = np.zeros((1, R, OUT_SIZE, OUT_SIZE), np.float32)
+    for c in range(R):
+        onehot[0, c] = lab == c
+    onehot_t = torch.tensor(onehot)
+
+    from e4s_tpu.pipelines.swap_core import SWAP_COMP_INDICES
+
+    def core_once():
+        with torch.no_grad():
+            d_sv, _ = tnet.get_style_vectors(driven, onehot_t)
+            t_sv, _ = tnet.get_style_vectors(target, onehot_t)
+            swapped = t_sv.clone()
+            for idx in SWAP_COMP_INDICES:
+                swapped[:, idx] = d_sv[:, idx]
+            style_codes, _, _ = tnet.cal_style_codes(swapped)
+            img, _, _ = tnet.gen_img(
+                torch.zeros(1, 512, 32, 32), style_codes, onehot_t
+            )
+        return img
+
+    core_once()  # warmup
+    iters = int(os.environ.get("BENCH_TORCH_REF_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        core_once()
+    per = (time.perf_counter() - t0) / iters
+    d = {
+        "out_size": OUT_SIZE,
+        "core_swaps_per_sec": 1.0 / per,
+        "iters": iters,
+        "dtype": "float32",
+        "note": "actual reference torch modules on host CPU, random init",
+    }
+    with open(TORCH_REF_CACHE, "w") as f:
+        json.dump(d, f)
+    return d
+
+
 # ------------------------------ CPU baseline -------------------------------
 
 
@@ -344,6 +541,19 @@ def main():
     core_sps = BATCH / core_s
     del core, args
 
+    # device-resident batched core (no per-iter transfers): the chip's actual
+    # swap capability, vs the tunnel-bound e2e numbers
+    core_b8_sps = None
+    if not FAST and os.environ.get("BENCH_CORE_BATCH", "1") == "1":
+        try:
+            b = int(os.environ.get("BENCH_CORE_BATCH_N", "8"))
+            core_b, args_b = _build_core(batch=b)
+            s, _ = _time_core(core_b, args_b, max(2, ITERS // 2))
+            core_b8_sps = b / s
+            del core_b, args_b
+        except Exception as e:
+            print(f"[bench] core batch failed: {type(e).__name__}: {e}")
+
     if FAST:
         result = {
             "metric": "1024px_swap_core_per_sec_per_chip",
@@ -359,6 +569,13 @@ def main():
         return
 
     swapper, e2e_sps, e2e_p50 = _bench_e2e(ITERS)
+
+    e2e_full_sps = e2e_full_p50 = None
+    if os.environ.get("BENCH_FULL", "1") == "1":
+        try:
+            e2e_full_sps, e2e_full_p50 = _bench_e2e_full(max(2, ITERS // 3))
+        except Exception as e:
+            print(f"[bench] full e2e failed: {type(e).__name__}: {e}")
 
     batch64_sps = batch_chunk = None
     if RUN_BATCH64:
@@ -387,26 +604,63 @@ def main():
     except Exception as e:
         print(f"[bench] inversion failed: {type(e).__name__}: {e}")
 
+    train = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            train = _bench_training()
+        except Exception as e:
+            print(f"[bench] training failed: {type(e).__name__}: {e}")
+
+    torch_ref = None
+    try:
+        torch_ref = _torch_reference_baseline()
+    except Exception as e:
+        print(f"[bench] torch reference baseline failed: {type(e).__name__}: {e}")
+
     cpu = None
     try:
         cpu = _cpu_baseline()
     except Exception as e:
         print(f"[bench] cpu baseline failed: {type(e).__name__}: {e}")
 
+    # vs_baseline: >=5x the CPU reference (BASELINE.md). The truest available
+    # reference is the ACTUAL torch reference core on this host's CPU
+    # (random init, fp32); fall back to the older self-referential JAX-CPU
+    # e2e ratio when the torch import is unavailable.
+    torch_core = torch_ref.get("core_swaps_per_sec") if torch_ref else None
     cpu_e2e = cpu.get("e2e_swaps_per_sec") if cpu else None
-    vs_baseline = e2e_sps / (5.0 * cpu_e2e) if cpu_e2e else None
-    if vs_baseline is None and cpu and cpu.get("swaps_per_sec"):
-        # older cache schema (core-only): fall back to the core ratio so the
-        # driver still gets a number rather than null
+    if torch_core:
+        vs_baseline = core_sps / (5.0 * torch_core)
+    elif cpu_e2e:
+        vs_baseline = e2e_sps / (5.0 * cpu_e2e)
+    elif cpu and cpu.get("swaps_per_sec"):
         vs_baseline = core_sps / (5.0 * cpu["swaps_per_sec"])
+    else:
+        vs_baseline = None
     result = {
         "metric": "e2e_1024px_swaps_per_sec_per_chip",
         "value": round(e2e_sps, 4),
         "unit": "swaps/s",
         "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
         "p50_latency_ms": round(e2e_p50 * 1000, 2),
+        "e2e_full_swaps_per_sec": (
+            round(e2e_full_sps, 4) if e2e_full_sps else None
+        ),
+        "e2e_full_p50_latency_ms": (
+            round(e2e_full_p50 * 1000, 2) if e2e_full_p50 else None
+        ),
         "core_swaps_per_sec": round(core_sps, 4),
         "core_p50_latency_ms": round(core_p50 * 1000, 2),
+        "core_batch8_swaps_per_sec": (
+            round(core_b8_sps, 4) if core_b8_sps else None
+        ),
+        "train_img_per_sec_per_chip": (
+            round(train["img_per_sec"], 3) if train else None
+        ),
+        "train_detail": train,
+        "torch_ref_core_swaps_per_sec": (
+            round(torch_core, 5) if torch_core else None
+        ),
         "inversion_iters_per_sec": round(inv_ips, 2) if inv_ips else None,
         "segnext_lapbld_swaps_per_sec": (
             round(cfg3_sps, 4) if cfg3_sps else None
@@ -423,10 +677,13 @@ def main():
             round(cpu_e2e, 5) if cpu_e2e else None
         ),
         "baseline_note": (
-            "vs_baseline = e2e_tpu / (5 * e2e_cpu_jax); the PyTorch "
-            "reference cannot run in this image (CUDA-only native ops), so "
-            "the CPU number is this same JAX pipeline on the host CPU "
-            "backend, cached in .bench_cpu_baseline.json"
+            "vs_baseline = core_tpu / (5 * core_torch_reference_cpu): the "
+            "actual reference PyTorch modules (CUDA ops stubbed pure-torch) "
+            "timed on this host's CPU, cached in "
+            ".bench_torch_ref_baseline.json"
+            if torch_core else
+            "vs_baseline = e2e_tpu / (5 * e2e_cpu_jax) — torch reference "
+            "import unavailable; JAX-CPU fallback"
         ),
     }
     print(json.dumps(result))

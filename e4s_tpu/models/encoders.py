@@ -206,12 +206,19 @@ def irse50_blocks():
     return blocks
 
 
-def fsencoder_blocks():
-    """RGI encoder trunk config. ref: src/models/encoders/psp_encoders.py:242-247"""
+def fsencoder_blocks(slim: bool = False):
+    """RGI encoder trunk config. ref: src/models/encoders/psp_encoders.py:242-247
+
+    ``slim``: one block per stage instead of (3,4,14,3) — same stage widths,
+    strides and tap dimensionality (so the downstream MLPs are identical) with
+    ~6x fewer layers. Used only for compile-budgeted validation runs (the
+    driver's virtual-CPU multichip dryrun); never for training or parity.
+    """
+    stages = ((64, 128, 3), (128, 256, 4), (256, 512, 14), (512, 512, 3))
     blocks = []
-    for in_c, depth, n in ((64, 128, 3), (128, 256, 4), (256, 512, 14), (512, 512, 3)):
+    for in_c, depth, n in stages:
         blocks.append((in_c, depth, 2))
-        blocks += [(depth, depth, 1)] * (n - 1)
+        blocks += [(depth, depth, 1)] * (0 if slim else n - 1)
     return blocks
 
 
@@ -228,6 +235,8 @@ class FSEncoderPSP(nn.Module):
     # NHWC trunk: input x is [B,256,256,3]; segmap stays [B,R,H,W] and the
     # returned structure_feats stay NCHW-shaped (zeros; layout-free API)
     channels_last: bool = False
+    # one block per stage (see fsencoder_blocks) — validation-scale only
+    slim: bool = False
 
     @nn.compact
     def __call__(self, x, segmap):
@@ -239,13 +248,16 @@ class FSEncoderPSP(nn.Module):
         x = InstanceNorm(channels_last=cl)(x)
         x = PReLU(64, channels_last=cl, name="input_prelu")(x)
 
+        # taps at the last 256-ch block and the two final 512-ch blocks
+        # (ref: psp_encoders.py:290-296 — body indices 6, 20, 23)
+        tap_ids = (1, 2, 3) if self.slim else (6, 20, 23)
         taps = {}
-        for i, (in_c, depth, stride) in enumerate(fsencoder_blocks()):
+        for i, (in_c, depth, stride) in enumerate(fsencoder_blocks(self.slim)):
             x = BottleneckIRSE(
                 in_c, depth, stride, norm="in", channels_last=cl,
                 name=f"body_{i}",
             )(x)
-            if i in (6, 20, 23):
+            if i in tap_ids:
                 taps[i] = x
 
         if cl:
@@ -256,9 +268,8 @@ class FSEncoderPSP(nn.Module):
             structure_feats = jnp.zeros_like(x)
         codes = jnp.concatenate(
             [
-                masked_region_mean(taps[6], segmap, channels_last=cl),
-                masked_region_mean(taps[20], segmap, channels_last=cl),
-                masked_region_mean(taps[23], segmap, channels_last=cl),
+                masked_region_mean(taps[t], segmap, channels_last=cl)
+                for t in tap_ids
             ],
             axis=-1,
         )

@@ -129,6 +129,11 @@ def drive_source(model: FaceVid2Vid, source01, driving_list):
 def build_reenactor(cfg_path: Optional[str] = None, ckpt_path: Optional[str] = None):
     """Returns a callable (S01, T01 [1,3,H,W] in [0,1]) -> D01 [1,3,256,256].
 
+    The prediction stays at FaceVid2Vid's native 256^2 — exactly what the
+    reference hands to GPEN (scripts/face_swap.py:203-209: the 256^2 fv2v
+    output goes straight into GPEN, whose x4 RealESRNet brings it back to
+    1024^2). The swap pipeline resizes to out_size if no restorer follows.
+
     Loads converted torch weights when ``ckpt_path`` exists
     (ref: driven_demo.py:21-64), random init otherwise.
     """
@@ -140,8 +145,6 @@ def build_reenactor(cfg_path: Optional[str] = None, ckpt_path: Optional[str] = N
     model = FaceVid2Vid(variables=variables)
 
     def reenact(S01, T01):
-        out = model.drive(S01, T01)
-        # back to the pipeline's full-res [0,1] layout
-        return np.asarray(bilinear_resize(out, (S01.shape[-2], S01.shape[-1])))
+        return np.asarray(model.drive(S01, T01))
 
     return reenact

@@ -111,10 +111,16 @@ class FaceEnhancement:
     """ref: face_enhancement.py:16-112"""
 
     def __init__(self, in_size=512, out_size=None, use_sr=True, sr_scale=4,
-                 channel_multiplier=2, narrow=1, variables=None):
+                 channel_multiplier=2, narrow=1, variables=None,
+                 force_one_face=False):
         import cv2
 
         variables = variables or {}
+        # force_one_face: when the detector returns nothing (random-init
+        # weights can't detect), synthesize one centered face box so the
+        # per-face GPEN+ParseNet+warp path still runs — used by the benchmark
+        # to price the reference's full restoration stage without weights.
+        self.force_one_face = force_one_face
         self.facedetector = RetinaFaceDetector(variables.get("retinaface"))
         self.facegan = FaceGAN(
             in_size, out_size, variables.get("facegan"),
@@ -169,6 +175,20 @@ class FaceEnhancement:
                 img = cv2.resize(img, img_sr.shape[:2][::-1])
 
         facebs, landms = self.facedetector.detect(img)
+        if self.force_one_face and not any(
+            b[4] >= self.threshold for b in facebs
+        ):
+            h, w = img.shape[:2]
+            facebs = np.array([[w * 0.25, h * 0.25, w * 0.75, h * 0.75, 1.0]])
+            # canonical 5 points (eyes, nose, mouth corners) in the box
+            pts = np.array(
+                [[0.38, 0.62, 0.50, 0.40, 0.60],   # x fractions
+                 [0.42, 0.42, 0.55, 0.70, 0.70]]   # y fractions
+            )
+            pts = np.stack(
+                [w * (0.25 + 0.5 * pts[0]), h * (0.25 + 0.5 * pts[1])]
+            )
+            landms = pts.reshape(1, 10)
         height, width = img.shape[:2]
         full_mask = np.zeros((height, width), dtype=np.float32)
         full_img = np.zeros(img.shape, dtype=np.uint8)
@@ -224,15 +244,17 @@ def build_restorer(model_params: dict, variables=None):
         channel_multiplier=model_params.get("channel_multiplier", 2),
         narrow=model_params.get("narrow", 1),
         variables=variables,
+        force_one_face=model_params.get("force_one_face", False),
     )
 
     def restore(D01: np.ndarray) -> np.ndarray:
+        """Returns GPEN's native-resolution output (the x4-SR composite for a
+        256^2 fv2v prediction is 1024^2, exactly the reference flow at
+        scripts/face_swap.py:207-209); the swap pipeline resizes to out_size
+        only if they differ."""
         img = np.transpose(D01[0], (1, 2, 0))  # RGB HWC [0,1]
         bgr = (np.clip(img[:, :, ::-1], 0, 1) * 255).astype(np.uint8)
         out_bgr = gpen_demo(bgr, enhancer, aligned=False)
-        import cv2
-
-        out_bgr = cv2.resize(out_bgr, (D01.shape[-1], D01.shape[-2]))
         rgb = out_bgr[:, :, ::-1].astype(np.float32) / 255.0
         return np.transpose(rgb, (2, 0, 1))[None]
 

@@ -58,10 +58,20 @@ class Net3(nn.Module):
     fast_masked: bool = True
     # NHWC synthesis internals (checkpoint- and API-compatible either way)
     channels_last: bool = False
+    # Encoder input resolution. The reference fixes 256 (networks.py:87);
+    # overridable so tiny-shape validation runs (e.g. the driver's CPU
+    # multichip dryrun) don't compile a 256^2 trunk for a 32^2 model.
+    encoder_size: int = 256
+    # one trunk block per stage (same widths/strides/code dims) — used only
+    # by compile-budgeted validation runs, never training or parity
+    encoder_slim: bool = False
+    # validation-only generator channel narrowing (see generator_channels)
+    ch_div: int = 1
 
     def setup(self):
         self.encoder = FSEncoderPSP(
-            self.num_seg_cls, channels_last=self.channels_last, name="encoder"
+            self.num_seg_cls, channels_last=self.channels_last,
+            slim=self.encoder_slim, name="encoder",
         )
         num_w = self.remaining_layer_idx if self.remaining_layer_idx != 17 else 18
         self.MLPs = [
@@ -76,6 +86,7 @@ class Net3(nn.Module):
             remaining_layer_idx=self.remaining_layer_idx,
             fast_masked=self.fast_masked,
             channels_last=self.channels_last,
+            ch_div=self.ch_div,
             name="G",
         )
 
@@ -118,7 +129,7 @@ class Net3(nn.Module):
     def _encode(self, img, mask):
         """Resize to 256² and run the RGI encoder (NHWC trunk when
         ``channels_last``; public I/O stays NCHW either way)."""
-        img256 = bilinear_resize(img, (256, 256))
+        img256 = bilinear_resize(img, (self.encoder_size, self.encoder_size))
         if self.channels_last:
             img256 = jnp.transpose(img256, (0, 2, 3, 1))
         return self.encoder(img256, mask)

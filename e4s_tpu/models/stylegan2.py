@@ -58,8 +58,13 @@ CHANNELS = {
 # channel_multiplier=2 applied (ref: model.py:481-491)
 
 
-def generator_channels(channel_multiplier: int = 2):
-    return {
+def generator_channels(channel_multiplier: int = 2, ch_div: int = 1):
+    """``ch_div`` uniformly narrows every stage (min 8 ch). It exists ONLY
+    for compile/runtime-budgeted validation runs (the driver's virtual-CPU
+    multichip dryrun): narrower convs change neither the layer schedule nor
+    the sharding/collective pattern of a training step, just the FLOPs a
+    1-core host must chew through. Never used for training or parity."""
+    base = {
         4: 512, 8: 512, 16: 512, 32: 512,
         64: 256 * channel_multiplier,
         128: 128 * channel_multiplier,
@@ -67,6 +72,9 @@ def generator_channels(channel_multiplier: int = 2):
         512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+    if ch_div == 1:
+        return base
+    return {k: max(8, v // ch_div) for k, v in base.items()}
 
 
 class ModulatedConv2d(nn.Module):
@@ -316,9 +324,11 @@ class Generator(nn.Module):
     # NCHW/OIHW layouts; only the internal activations are channels-last, so
     # checkpoints and callers are layout-agnostic.
     channels_last: bool = False
+    # validation-only channel narrowing (see generator_channels)
+    ch_div: int = 1
 
     def setup(self):
-        channels = generator_channels(self.channel_multiplier)
+        channels = generator_channels(self.channel_multiplier, self.ch_div)
         self.log_size = int(math.log2(self.size))
         self.num_layers = (self.log_size - 2) * 2 + 1
         self.n_latent = self.log_size * 2 - 2
@@ -588,6 +598,8 @@ class Discriminator(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     stddev_group: int = 4
     stddev_feat: int = 1
+    # validation-only channel narrowing (see generator_channels)
+    ch_div: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -597,7 +609,7 @@ class Discriminator(nn.Module):
             space_to_depth2,
         )
 
-        channels = generator_channels(self.channel_multiplier)
+        channels = generator_channels(self.channel_multiplier, self.ch_div)
         log_size = int(math.log2(self.size))
         in_channel = channels[self.size]
 

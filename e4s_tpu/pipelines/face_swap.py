@@ -83,6 +83,23 @@ class FaceSwapper:
 
         return parse12_host(self.parser, arr01)
 
+    def _reenact_restore(self, S01, T01):
+        """Stage (2): FaceVid2Vid re-enactment at its native 256^2, GPEN
+        restoration (x4 SR back to 1024^2), then a resize guard to out_size.
+        Identity (D = S) when no reenactor is injected.
+        ref: scripts/face_swap.py:203-209."""
+        if self.reenactor is None:
+            return S01
+        D01 = self.reenactor(S01, T01)
+        if self.restorer is not None:
+            # GPEN's host glue (detect/warp/composite) is per-image
+            D01 = np.concatenate([self.restorer(D01[i:i + 1])
+                                  for i in range(D01.shape[0])])
+        S = self.opts.out_size
+        if D01.shape[-2:] != (S, S):
+            D01 = np.asarray(bilinear_resize(jnp.asarray(D01), (S, S)))
+        return np.clip(D01, 0.0, 1.0)
+
     # ----------------------------- main --------------------------------
 
     def swap(
@@ -171,14 +188,12 @@ class FaceSwapper:
         from PIL import Image
 
         opts = self.opts
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
 
-        # (2) re-enact S with T's pose, then restore
-        if self.reenactor is not None:
-            D01 = self.reenactor(S01, T01)
-            if self.restorer is not None:
-                D01 = self.restorer(D01)
-        else:
-            D01 = S01  # fallback: use the source directly
+        # (2) re-enact S with T's pose (256^2, fv2v native), then restore
+        # (GPEN x4 SR -> 1024^2) — ref: scripts/face_swap.py:203-209
+        D01 = self._reenact_restore(S01, T01)
 
         # default fast path: the whole parse->swap->stitch program on device,
         # 2 uint8 uploads + 1 uint8 download. The staged path below remains
@@ -285,11 +300,7 @@ class FaceSwapper:
         T01 = np.asarray(target_arrays, np.float32)
         opts = self.opts
 
-        D01 = S01
-        if self.reenactor is not None:
-            D01 = self.reenactor(S01, T01)
-            if self.restorer is not None:
-                D01 = self.restorer(D01)
+        D01 = self._reenact_restore(S01, T01)
 
         if target_masks is None and self._swap_e2e is not None:
             # fused device path in fixed-size chunks with one-chunk upload
@@ -310,19 +321,38 @@ class FaceSwapper:
                     t = np.concatenate([t, t[-1:].repeat(rep, 0)])
                 return jax.device_put(s), jax.device_put(t)
 
-            outs = []
+            import time as _time
+
+            timeline = os.environ.get("E4S_BATCH_TIMELINE") == "1"
+            marks = []
+            outs_np = []
+            pending = None  # previous chunk's device output, downloaded while
+            # the current chunk computes (and the next chunk uploads): all
+            # three link/compute phases overlap instead of serialising the
+            # downloads after the loop
             cur = put(0)
             for lo in range(0, n, chunk):
+                t0 = _time.perf_counter()
                 nxt = put(lo + chunk) if lo + chunk < n else None
+                t1 = _time.perf_counter()
                 out_u8, _, _ = self._swap_e2e(
                     self.variables, self.parser.variables,
                     cur[0], cur[1], self.latent_avg,
                 )
-                outs.append(out_u8)
+                t2 = _time.perf_counter()
+                if pending is not None:
+                    outs_np.append(np.asarray(pending, np.float32))
+                t3 = _time.perf_counter()
+                if timeline:
+                    marks.append((t1 - t0, t2 - t1, t3 - t2))
+                pending = out_u8
                 cur = nxt
-            res = np.concatenate(
-                [np.asarray(o, np.float32) for o in outs]
-            ) / 255.0
+            outs_np.append(np.asarray(pending, np.float32))
+            if timeline:
+                for i, (up, disp, down) in enumerate(marks):
+                    print(f"[swap_batch] chunk {i}: upload+put {up*1e3:.0f}ms "
+                          f"dispatch {disp*1e3:.0f}ms download_prev {down*1e3:.0f}ms")
+            res = np.concatenate(outs_np) / 255.0
             return res[:n]
 
         D_masks = self._parse12(D01)

@@ -131,8 +131,14 @@ class Coach:
             learn_in_w=opts.learn_in_w,
             fast_masked=getattr(opts, "fast_masked", True),
             channels_last=getattr(opts, "channels_last", True),
+            encoder_size=getattr(opts, "encoder_size", 256),
+            encoder_slim=getattr(opts, "encoder_slim", False),
+            ch_div=getattr(opts, "ch_div", 1),
         )
-        self.D = Discriminator(size=opts.out_size) if opts.train_D else None
+        self.D = (
+            Discriminator(size=opts.out_size, ch_div=getattr(opts, "ch_div", 1))
+            if opts.train_D else None
+        )
 
         rng = jax.random.PRNGKey(init_rng)
         k_net, k_d, k_noise, k_aux = jax.random.split(rng, 4)
@@ -236,6 +242,7 @@ class Coach:
             gen = Generator(
                 size=opts.out_size,
                 remaining_layer_idx=opts.remaining_layer_idx,
+                ch_div=getattr(opts, "ch_div", 1),
             )
             n_sample = int(getattr(opts, "latent_avg_samples", 100_000))
             la = jax.jit(
