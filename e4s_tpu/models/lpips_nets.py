@@ -14,6 +14,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from e4s_tpu.models.encoders import Conv
@@ -32,8 +33,13 @@ VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
            512, 512, 512, "M")
 VGG_CHANNELS = (64, 128, 256, 512, 512)
 
-_SHIFT = jnp.array([-0.030, -0.088, -0.188]).reshape(1, 3, 1, 1)
-_SCALE = jnp.array([0.458, 0.448, 0.450]).reshape(1, 3, 1, 1)
+# NUMPY on purpose: module-level jnp constants are device-resident (created
+# at import on the default backend); used inside a jitted step they get
+# embedded as MLIR constants, which forces a trace-time host readback that
+# the remote TPU backend rejects (BENCH_r03 INVALID_ARGUMENT). A numpy
+# constant lowers through the ndarray handler with no device round-trip.
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32).reshape(1, 3, 1, 1)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32).reshape(1, 3, 1, 1)
 
 
 def _max_pool(x, k, s):

@@ -269,7 +269,20 @@ class Coach:
         self.state = replicate(self.state, self.mesh)
 
         self.dataset_override = dataset_override
-        self._compiled_g = jax.jit(self._g_step, donate_argnums=(0,))
+        # loss_vars is threaded through the jitted G/eval steps as an
+        # ARGUMENT (not a closure): device-resident closures become MLIR
+        # constants at trace time, forcing a host readback that the remote
+        # TPU backend rejects (INVALID_ARGUMENT). The public call signature
+        # (state, img, ...) is preserved by thin wrappers that also expose
+        # the underlying jit's _cache_size for retrace accounting.
+        self._jit_g = jax.jit(self._g_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(self._eval_step_impl)
+
+        def _compiled_g(state, img, mask, onehot, rng):
+            return self._jit_g(state, self.loss_vars, img, mask, onehot, rng)
+
+        _compiled_g._cache_size = self._jit_g._cache_size
+        self._compiled_g = _compiled_g
         self._compiled_d = jax.jit(self._d_step, donate_argnums=(0,))
         self._compiled_r1 = jax.jit(self._d_r1_step, donate_argnums=(0,))
         self._compiled_recon = jax.jit(
@@ -302,17 +315,22 @@ class Coach:
     # loss calc (ref: coach.py:403-453)
     # ------------------------------------------------------------------
 
-    def _calc_loss(self, img, recon, mask, latent, latent_avg):
+    def _calc_loss(self, loss_vars, img, recon, mask, latent, latent_avg):
+        """loss_vars MUST be threaded in as a jit argument: the frozen
+        criteria weights are device-resident, and closing over them embeds
+        them as MLIR constants — a host readback that crashes trace-time on
+        the remote TPU backend (same fix as parsers/Optimizer, commit
+        8f48336)."""
         opts = self.opts
         loss = 0.0
         loss_dict = {}
         if opts.face_parsing_lambda > 0:
-            lp, imp = self.parsing_loss.apply(self.loss_vars["parsing"], recon, img)
+            lp, imp = self.parsing_loss.apply(loss_vars["parsing"], recon, img)
             loss_dict["loss_face_parsing"] = lp
             loss_dict["face_parsing_improve"] = imp
             loss = loss + lp * opts.face_parsing_lambda
         if opts.id_lambda > 0:
-            lid, sim = self.id_loss.apply(self.loss_vars["id"], recon, img)
+            lid, sim = self.id_loss.apply(loss_vars["id"], recon, img)
             loss_dict["loss_id"] = lid
             loss_dict["id_improve"] = sim
             loss = loss + lid * opts.id_lambda
@@ -328,7 +346,7 @@ class Coach:
                 # (only relevant for small test configs; 1024 path unchanged)
                 s = max(opts.out_size // (2**i), 32)
                 llp = llp + self.lpips.apply(
-                    self.loss_vars["lpips"],
+                    loss_vars["lpips"],
                     adaptive_avg_pool2d(recon, (s, s)),
                     adaptive_avg_pool2d(img, (s, s)),
                 )
@@ -341,7 +359,7 @@ class Coach:
         if opts.style_lambda > 0:
             hair = (mask == 3).astype(img.dtype)
             ls = self.style_loss.apply(
-                self.loss_vars["style"], recon, img, mask_x=hair, mask_x_hat=hair
+                loss_vars["style"], recon, img, mask_x=hair, mask_x_hat=hair
             )
             loss_dict["loss_style"] = ls
             loss = loss + ls * opts.style_lambda
@@ -375,7 +393,7 @@ class Coach:
             rngs={"noise": rng},
         )
 
-    def _g_step(self, state: TrainState, img, mask, onehot, rng):
+    def _g_step(self, state: TrainState, loss_vars, img, mask, onehot, rng):
         opts = self.opts
 
         def loss_fn(params):
@@ -385,7 +403,7 @@ class Coach:
                 mp(params), mp(state.noises), img_c, onehot_c, la_c, rng
             )
             loss, loss_dict = self._calc_loss(
-                img_c, recon, mask, latent, la_c
+                loss_vars, img_c, recon, mask, latent, la_c
             )
             g_loss = 0.0
             if self.D is not None:
@@ -629,12 +647,16 @@ class Coach:
         self._log_metrics(loss_dict, prefix="test")
         return loss_dict
 
-    @partial(jax.jit, static_argnums=(0,))
     def _eval_step(self, state, img, mask, onehot, rng):
+        return self._jit_eval(state, self.loss_vars, img, mask, onehot, rng)
+
+    def _eval_step_impl(self, state, loss_vars, img, mask, onehot, rng):
         recon, _, latent = self._net_forward(
             state.params, state.noises, img, onehot, state.latent_avg, rng
         )
-        loss, loss_dict = self._calc_loss(img, recon, mask, latent, state.latent_avg)
+        loss, loss_dict = self._calc_loss(
+            loss_vars, img, recon, mask, latent, state.latent_avg
+        )
         if self.D is not None:
             fake_pred = self.D.apply({"params": state.params_d}, recon)
             g_loss = adv_g_loss(fake_pred)
