@@ -23,6 +23,11 @@ ITERS = int(os.environ.get("AB_ITERS", "20"))
 ROUNDS = int(os.environ.get("AB_ROUNDS", "4"))
 OUT_SIZE = int(os.environ.get("AB_OUT_SIZE", "1024"))
 AB_ENV = os.environ.get("AB_ENV", "E4S_TPU_UP_STACKED")
+# knob values for the two arms (default a boolean knob; e.g. for
+# AB_ENV=E4S_TPU_PACKED_MIN_RES use AB_VAL_OFF=1024 AB_VAL_ON=512)
+AB_VAL_OFF = os.environ.get("AB_VAL_OFF", "0")
+AB_VAL_ON = os.environ.get("AB_VAL_ON", "1")
+AB_BATCH = int(os.environ.get("AB_BATCH", "1"))
 
 
 def main():
@@ -38,13 +43,14 @@ def main():
     net = Net3(
         out_size=S, remaining_layer_idx=13, n_styles=18, channels_last=True
     )
+    B = AB_BATCH
     rng = np.random.RandomState(0)
-    driven = jnp.asarray(rng.rand(1, 3, S, S).astype(np.float32) * 2 - 1)
-    lab = np.zeros((1, S, S), np.int32)
+    driven = jnp.asarray(rng.rand(B, 3, S, S).astype(np.float32) * 2 - 1)
+    lab = np.zeros((B, S, S), np.int32)
     yy, xx = np.mgrid[0:S, 0:S]
     rad = np.hypot(yy - S / 2, xx - S / 2)
     lab[:, rad < S * 0.4] = 6
-    oh = np.zeros((1, R, S, S), np.float32)
+    oh = np.zeros((B, R, S, S), np.float32)
     for c in range(R):
         oh[:, c] = lab == c
     onehot = jnp.asarray(oh)
@@ -70,7 +76,7 @@ def main():
     codes = jax.jit(
         lambda v, s, la: net.apply(v, s, la, method=Net3.cal_style_codes)
     )(variables, sv, latent_avg)
-    struc = jnp.zeros((1, 512, 32, 32), driven.dtype)
+    struc = jnp.zeros((B, 512, 32, 32), driven.dtype)
 
     def mk_synth():
         return jax.jit(
@@ -83,7 +89,7 @@ def main():
         return float(jnp.mean(jnp.asarray(x, jnp.float32)))
 
     fns = {}
-    for name, env in (("off", "0"), ("on", "1")):
+    for name, env in (("off", AB_VAL_OFF), ("on", AB_VAL_ON)):
         os.environ[AB_ENV] = env
         f = mk_synth()
         sync(f(variables, struc, codes, onehot))  # compile
