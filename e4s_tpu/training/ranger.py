@@ -112,9 +112,14 @@ def lookahead(
     pulled toward the slow weights."""
 
     def init_fn(params):
+        # EXPLICIT copy: jnp.asarray on a jax array is a no-op, so the slow
+        # weights would ALIAS the param buffers. Under donate_argnums the
+        # train state then donates the same buffer twice (params + slow),
+        # which the TPU runtime rejects at execution (INVALID_ARGUMENT) —
+        # same aliasing bug fixed earlier for the EMA copy in coach.py.
         return LookaheadState(
             inner.init(params),
-            jax.tree_util.tree_map(jnp.asarray, params),
+            jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
             jnp.zeros([], jnp.int32),
         )
 
