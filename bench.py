@@ -451,7 +451,9 @@ def _torch_reference_baseline():
             swapped = t_sv.clone()
             for idx in SWAP_COMP_INDICES:
                 swapped[:, idx] = d_sv[:, idx]
-            style_codes, _, _ = tnet.cal_style_codes(swapped)
+            # cal_style_codes returns ONE tensor (networks.py:134-157);
+            # get_style_vectors returns two and gen_img three.
+            style_codes = tnet.cal_style_codes(swapped)
             img, _, _ = tnet.gen_img(
                 torch.zeros(1, 512, 32, 32), style_codes, onehot_t
             )
@@ -680,7 +682,10 @@ def main():
             "vs_baseline = core_tpu / (5 * core_torch_reference_cpu): the "
             "actual reference PyTorch modules (CUDA ops stubbed pure-torch) "
             "timed on this host's CPU, cached in "
-            ".bench_torch_ref_baseline.json"
+            ".bench_torch_ref_baseline.json. Asymmetry stated: TPU core is "
+            f"batch-{BATCH} {'bf16' if BF16 else 'fp32'}; torch core is "
+            "batch-1 fp32 (torch-CPU bf16 is not representative). This "
+            "definition (core vs torch core) is the stable one from r04 on."
             if torch_core else
             "vs_baseline = e2e_tpu / (5 * e2e_cpu_jax) — torch reference "
             "import unavailable; JAX-CPU fallback"
