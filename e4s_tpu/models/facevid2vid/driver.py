@@ -115,9 +115,15 @@ class FaceVid2Vid:
         )
 
     def drive(self, source01, driving01):
-        """[B,3,H,W] [0,1] arrays at any res -> driven [B,3,256,256] [0,1]."""
-        s = bilinear_resize(jnp.asarray(source01), (256, 256))
-        d = bilinear_resize(jnp.asarray(driving01), (256, 256))
+        """[B,3,H,W] [0,1] arrays at any res -> driven [B,3,256,256] [0,1].
+
+        The 256^2 downscale is ANTI-ALIASED with skimage semantics — the
+        reference feeds FaceVid2Vid ``skimage.transform.resize`` outputs
+        (ref: scripts/face_swap.py:197), not a plain bilinear."""
+        from e4s_tpu.ops.resize import antialiased_resize
+
+        s = antialiased_resize(jnp.asarray(source01), (256, 256))
+        d = antialiased_resize(jnp.asarray(driving01), (256, 256))
         return self._drive(s, d)
 
 
@@ -147,4 +153,7 @@ def build_reenactor(cfg_path: Optional[str] = None, ckpt_path: Optional[str] = N
     def reenact(S01, T01):
         return np.asarray(model.drive(S01, T01))
 
+    # exposes the underlying model so FaceSwapper can build the
+    # device-resident reenact->restore chain (pipelines/reenact_restore.py)
+    reenact.fv2v = model
     return reenact

@@ -120,6 +120,14 @@ class FaceEnhancement:
         # weights can't detect), synthesize one centered face box so the
         # per-face GPEN+ParseNet+warp path still runs — used by the benchmark
         # to price the reference's full restoration stage without weights.
+        # BENCHMARK-ONLY: with real detector weights a fabricated box would
+        # warp/composite a hallucinated face onto faceless frames, so it is
+        # refused when converted RetinaFace variables are supplied.
+        if force_one_face and variables.get("retinaface") is not None:
+            raise ValueError(
+                "force_one_face is a benchmark-only knob for random-init "
+                "runs; it must not be combined with real RetinaFace weights"
+            )
         self.force_one_face = force_one_face
         self.facedetector = RetinaFaceDetector(variables.get("retinaface"))
         self.facegan = FaceGAN(
@@ -258,4 +266,7 @@ def build_restorer(model_params: dict, variables=None):
         rgb = out_bgr[:, :, ::-1].astype(np.float32) / 255.0
         return np.transpose(rgb, (2, 0, 1))[None]
 
+    # exposes the enhancer so FaceSwapper can build the device-resident
+    # reenact->restore chain (pipelines/reenact_restore.py)
+    restore.enhancer = enhancer
     return restore

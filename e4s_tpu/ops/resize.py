@@ -91,11 +91,71 @@ def bilinear_resize(
     if (H, W) == (out_h, out_w):
         return x
     dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    Ah = jnp.asarray(_bilinear_matrix(H, out_h, align_corners), dtype=dt)
-    Aw = jnp.asarray(_bilinear_matrix(W, out_w, align_corners), dtype=dt)
+    # numpy on purpose: np constants lower through the ndarray handler with
+    # no device round-trip; an eager jnp.asarray would create a device array
+    # whose trace-time readback the remote TPU backend can reject when
+    # another program is in flight (see models/lpips_nets.py note)
+    Ah = _bilinear_matrix(H, out_h, align_corners).astype(dt)
+    Aw = _bilinear_matrix(W, out_w, align_corners).astype(dt)
     y = jnp.einsum("oh,...hw->...ow", Ah, x.astype(dt))
     y = jnp.einsum("pw,...ow->...op", Aw, y)
     return y
+
+
+@functools.lru_cache(maxsize=None)
+def _skimage_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] matrix reproducing ``skimage.transform.resize`` (order=1,
+    mode='reflect', anti_aliasing) for one axis: gaussian pre-filter with
+    sigma = (in/out - 1) / 2, truncate 4.0, ndimage 'mirror' boundary,
+    composed with ``ndi.zoom(order=1, grid_mode=True)``'s sampling at
+    src = (o + 0.5) * in/out - 0.5. The reference pipeline downscales with
+    exactly this (scripts/face_swap.py:197: skimage resize 1024->256 feeding
+    FaceVid2Vid), and skimage itself wraps the same scipy backend.
+    """
+    factor = in_size / out_size
+    # zoom (bilinear, grid_mode=True) matrix
+    Z = np.zeros((out_size, in_size), np.float64)
+    for o in range(out_size):
+        src = (o + 0.5) * factor - 0.5
+        src = min(max(src, 0.0), in_size - 1)  # mirror never needed interior
+        i0 = int(np.floor(src))
+        i1 = min(i0 + 1, in_size - 1)
+        w = src - i0
+        Z[o, i0] += 1.0 - w
+        Z[o, i1] += w
+    sigma = max(0.0, (factor - 1) / 2)
+    if sigma == 0:
+        return Z.astype(np.float32)
+    radius = int(4.0 * sigma + 0.5)
+    k = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    k /= k.sum()
+    G = np.zeros((in_size, in_size), np.float64)
+    for i in range(in_size):
+        for dj, kv in zip(range(-radius, radius + 1), k):
+            j = i + dj
+            if j < 0:  # ndimage 'mirror' == reflect_101: -1 -> 1
+                j = -j
+            elif j >= in_size:
+                j = 2 * (in_size - 1) - j
+            G[i, j] += kv
+    return (Z @ G).astype(np.float32)
+
+
+def antialiased_resize(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """skimage.transform.resize-equivalent (order=1 + gaussian AA) resize.
+
+    x: [..., H, W] -> [..., size[0], size[1]]; two dense matmuls (MXU).
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    out_h, out_w = size
+    if (H, W) == (out_h, out_w):
+        return x
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    # numpy constants on purpose — see bilinear_resize note
+    Ah = _skimage_resize_matrix(H, out_h).astype(dt)
+    Aw = _skimage_resize_matrix(W, out_w).astype(dt)
+    y = jnp.einsum("oh,...hw->...ow", Ah, x.astype(dt))
+    return jnp.einsum("pw,...ow->...op", Aw, y)
 
 
 def adaptive_avg_pool2d(x: jnp.ndarray, size) -> jnp.ndarray:

@@ -98,3 +98,71 @@ def grid_sample_3d(input, grid, align_corners: bool = False):
         return c0 * (1 - wz) + c1 * wz
 
     return jax.vmap(one)(input, grid)
+
+
+def affine_warp(img, m_inv, out_hw):
+    """``cv2.warpAffine(src, M, dsize, flags=bilinear)`` on device.
+
+    img: [C, H, W] float; ``m_inv``: [2, 3] DST->SRC affine (i.e. the
+    inverse of the M passed to cv2.warpAffine — cv2 inverts internally;
+    invert on the host with ``cv2.invertAffineTransform`` and pass it here).
+    Zero border (cv2 default BORDER_CONSTANT value 0). Used by the
+    device-resident GPEN restore chain
+    (ref: src/pretrained/gpen/face_enhancement.py:69-95 cv2.warpAffine
+    calls; flags=3 degrades to bilinear in warpAffine).
+    """
+    out_h, out_w = out_hw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=img.dtype),
+        jnp.arange(out_w, dtype=img.dtype),
+        indexing="ij",
+    )
+    sx = m_inv[0, 0] * xs + m_inv[0, 1] * ys + m_inv[0, 2]
+    sy = m_inv[1, 0] * xs + m_inv[1, 1] * ys + m_inv[1, 2]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    v00 = _gather_2d(img, x0i, y0i)
+    v01 = _gather_2d(img, x0i + 1, y0i)
+    v10 = _gather_2d(img, x0i, y0i + 1)
+    v11 = _gather_2d(img, x0i + 1, y0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def gaussian_blur_cv2(x, ksize: int, sigma: float):
+    """``cv2.GaussianBlur(x, (ksize, ksize), sigma)`` on device.
+
+    x: [..., H, W]; separable FIR with cv2's exact kernel
+    (exp(-i^2 / (2 sigma^2)), normalised) and BORDER_REFLECT_101 padding.
+    Used by the GPEN mask feathering (face_enhancement.py:29-31, 46-49:
+    double blur (101,101)/11).
+    """
+    assert ksize % 2 == 1
+    r = ksize // 2
+    i = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (i / sigma) ** 2)
+    k = (k / k.sum()).astype(x.dtype)
+    xp = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)], mode="reflect"
+    )
+    # separable along H then W via windowed dot: use correlation through
+    # conv_general_dilated on a flattened batch
+    def conv1d_lastdim(a, kern):
+        shape = a.shape
+        a2 = a.reshape(-1, 1, shape[-1])
+        out = jax.lax.conv_general_dilated(
+            a2, kern.reshape(1, 1, -1), (1,), [(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return out.reshape(shape[:-1] + (out.shape[-1],))
+
+    y = jnp.swapaxes(conv1d_lastdim(jnp.swapaxes(xp, -1, -2), k), -1, -2)
+    yp = jnp.pad(
+        y, [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)], mode="reflect"
+    )
+    return conv1d_lastdim(yp, k)

@@ -495,3 +495,70 @@ def test_swap_from_arrays_with_reenactor_restorer(tmp_path):
     # the restorer receives the reenactor's NATIVE-res output (no upsample
     # in between), and its 128^2 output is resized down to out_size after
     assert calls["restore_in"] == (1, 3, 32, 32)
+
+
+@pytest.mark.slow
+def test_device_chain_matches_host_glue(tmp_path):
+    """The device-resident reenact->restore chain
+    (pipelines/reenact_restore.py) must reproduce the host cv2-glue path
+    bit-for-bit up to float noise: same fv2v prediction, same uint8
+    quantisation points, GaussianBlur feather, affine warps and composite.
+
+    The assertion target is D — the reenacted+restored image the chain
+    actually replaces (measured 74.4 dB, 0.23% of pixels off by <=2 u8
+    levels, from cv2's fixed-point uint8 resize/warp vs our float+round).
+    The final swap is only sanity-bounded: at RANDOM INIT the Net3 core
+    amplifies the handful of flipped D-mask boundary pixels (argmax
+    agreement 0.9998) through the region-pooled style codes into a global
+    ~35 dB image shift — an amplifier artifact of untrained weights, not a
+    chain fidelity signal.
+
+    Runs the full native-size stack (256^2 fv2v -> x4 SR -> 512^2 GPEN ->
+    1024^2), so it is minutes on the 1-core CI host."""
+    import types as _t
+
+    import jax.numpy as jnp
+
+    from e4s_tpu.models.facevid2vid.driver import build_reenactor
+    from e4s_tpu.models.gpen.face_enhancement import build_restorer
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    reenactor = build_reenactor(None, None)
+    restorer = build_restorer(
+        {"in_size": 512, "use_sr": True, "sr_scale": 4,
+         "force_one_face": True},
+    )
+    opts = _t.SimpleNamespace(
+        num_seg_cls=12, out_size=1024, remaining_layer_idx=13, n_styles=18,
+        start_from_latent_avg=True, learn_in_w=False, bf16=False,
+        lap_bld=False, checkpoint_path=None,
+    )
+    swapper = FaceSwapper(opts, reenactor=reenactor, restorer=restorer)
+    assert swapper._device_chain is not None
+
+    rng = np.random.RandomState(0)
+    # uint8-derived inputs: the chain quantises S/T up front (as the
+    # reference does via PIL), so exact comparison needs u8-grid inputs
+    S01 = (rng.randint(0, 256, (1, 3, 1024, 1024)) / 255.0).astype(np.float32)
+    T01 = (rng.randint(0, 256, (1, 3, 1024, 1024)) / 255.0).astype(np.float32)
+
+    def psnr(a, b):
+        mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+        return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    # the chain's contract: D_u8 == the host glue's reenact+restore output
+    s_dev = jnp.asarray(np.clip(S01 * 255.0 + 0.5, 0, 255).astype(np.uint8))
+    t_dev = jnp.asarray(np.clip(T01 * 255.0 + 0.5, 0, 255).astype(np.uint8))
+    d_dev = swapper._device_chain(s_dev, t_dev)
+    assert d_dev is not None, "chain unexpectedly fell back to host path"
+    D01_host = swapper._reenact_restore(S01, T01)
+    d_host = np.clip(D01_host * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    p_d = psnr(d_host, np.asarray(d_dev))
+    assert p_d >= 60.0, f"device chain D vs host glue D PSNR {p_d:.2f} dB"
+
+    # sanity: the full swap outputs stay in the same ballpark (see note)
+    dev_img = swapper.swap_from_arrays(S01, T01)
+    swapper._device_chain = None  # force the host cv2-glue path
+    host_img = swapper.swap_from_arrays(S01, T01)
+    p_f = psnr(np.asarray(host_img), np.asarray(dev_img))
+    assert p_f >= 30.0, f"final swap PSNR {p_f:.2f} dB"
