@@ -347,56 +347,103 @@ class FaceSwapper:
         D01 = self._reenact_restore(S01, T01)
 
         if target_masks is None and self._swap_e2e is not None:
-            # fused device path in fixed-size chunks with one-chunk upload
-            # lookahead: jax.device_put and the jitted dispatch are async, so
-            # chunk i+1's (slow, ~20 MB/s tunnel) upload overlaps chunk i's
-            # compute — the input pipeline runs ahead of the TPU
+            # Fused device path, three-stage thread pipeline. The ~20 MB/s
+            # host<->device tunnel is the bottleneck (6.3 MB up + 3.1 MB down
+            # per image); a single thread serialises upload, dispatch-wait and
+            # download on that one link driver, capping throughput at
+            # ~bytes_total/bandwidth. A dedicated uploader thread (device_put,
+            # 2 chunks in flight) and a dedicated downloader thread
+            # (np.asarray) let the runtime overlap the up- and down-stream
+            # transfers with each other and with compute; the main thread
+            # only dispatches (async on this backend).
+            import queue as _queue
+            import threading as _threading
+            import time as _time
+
             n = D01.shape[0]
             chunk = min(chunk, n)
-            pad = (-n) % chunk  # pad the tail to keep one compiled shape
+            timeline = os.environ.get("E4S_BATCH_TIMELINE") == "1"
 
-            def put(lo):
+            def prep(lo):
                 hi = min(lo + chunk, n)
                 s = np.clip(D01[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
                 t = np.clip(T01[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
-                if hi - lo < chunk:
+                if hi - lo < chunk:  # pad tail: one compiled shape
                     rep = chunk - (hi - lo)
                     s = np.concatenate([s, s[-1:].repeat(rep, 0)])
                     t = np.concatenate([t, t[-1:].repeat(rep, 0)])
-                return jax.device_put(s), jax.device_put(t)
+                return s, t
 
-            import time as _time
+            in_q: _queue.Queue = _queue.Queue(maxsize=2)
+            out_q: _queue.Queue = _queue.Queue(maxsize=4)
+            n_chunks = (n + chunk - 1) // chunk
+            marks = {"up": 0.0, "disp": 0.0, "down": 0.0}
 
-            timeline = os.environ.get("E4S_BATCH_TIMELINE") == "1"
-            marks = []
-            outs_np = []
-            pending = None  # previous chunk's device output, downloaded while
-            # the current chunk computes (and the next chunk uploads): all
-            # three link/compute phases overlap instead of serialising the
-            # downloads after the loop
-            cur = put(0)
-            for lo in range(0, n, chunk):
+            errs = []
+
+            def uploader():
+                try:
+                    for lo in range(0, n, chunk):
+                        t0 = _time.perf_counter()
+                        s, t = prep(lo)
+                        pair = (jax.device_put(s), jax.device_put(t))
+                        # device_put may be lazy; forcing isn't possible
+                        # without a readback, so just hand it over — the
+                        # queue bound keeps at most 2 chunks of host+device
+                        # memory in flight
+                        marks["up"] += _time.perf_counter() - t0
+                        in_q.put(pair)
+                except Exception as e:  # propagate instead of deadlocking
+                    errs.append(e)
+                    in_q.put(None)
+
+            results = [None] * n_chunks
+
+            def downloader():
+                i = 0
+                try:
+                    while True:
+                        dev = out_q.get()
+                        if dev is None:
+                            return
+                        t0 = _time.perf_counter()
+                        results[i] = np.asarray(dev)
+                        i += 1
+                        marks["down"] += _time.perf_counter() - t0
+                except Exception as e:
+                    errs.append(e)
+
+            up_t = _threading.Thread(target=uploader, daemon=True)
+            down_t = _threading.Thread(target=downloader, daemon=True)
+            up_t.start()
+            down_t.start()
+            for _ in range(n_chunks):
+                cur = in_q.get()
+                if cur is None:
+                    break
                 t0 = _time.perf_counter()
-                nxt = put(lo + chunk) if lo + chunk < n else None
-                t1 = _time.perf_counter()
                 out_u8, _, _ = self._swap_e2e(
                     self.variables, self.parser.variables,
                     cur[0], cur[1], self.latent_avg,
                 )
-                t2 = _time.perf_counter()
-                if pending is not None:
-                    outs_np.append(np.asarray(pending, np.float32))
-                t3 = _time.perf_counter()
-                if timeline:
-                    marks.append((t1 - t0, t2 - t1, t3 - t2))
-                pending = out_u8
-                cur = nxt
-            outs_np.append(np.asarray(pending, np.float32))
+                marks["disp"] += _time.perf_counter() - t0
+                out_q.put(out_u8)
+            out_q.put(None)
+            up_t.join()
+            down_t.join()
+            if errs:
+                raise errs[0]
+            assert all(r is not None for r in results)
             if timeline:
-                for i, (up, disp, down) in enumerate(marks):
-                    print(f"[swap_batch] chunk {i}: upload+put {up*1e3:.0f}ms "
-                          f"dispatch {disp*1e3:.0f}ms download_prev {down*1e3:.0f}ms")
-            res = np.concatenate(outs_np) / 255.0
+                print(
+                    f"[swap_batch] {n_chunks} chunks of {chunk}: "
+                    f"upload-thread total {marks['up']*1e3:.0f}ms, "
+                    f"dispatch total {marks['disp']*1e3:.0f}ms, "
+                    f"download-thread total {marks['down']*1e3:.0f}ms"
+                )
+            res = np.concatenate(
+                [r.astype(np.float32) for r in results]
+            ) / 255.0
             return res[:n]
 
         D_masks = self._parse12(D01)

@@ -562,3 +562,55 @@ def test_device_chain_matches_host_glue(tmp_path):
     host_img = swapper.swap_from_arrays(S01, T01)
     p_f = psnr(np.asarray(host_img), np.asarray(dev_img))
     assert p_f >= 30.0, f"final swap PSNR {p_f:.2f} dB"
+
+
+def test_swap_batch_fused_threaded_matches_sequential(tmp_path):
+    """The three-stage threaded batch pipeline (uploader/dispatch/downloader,
+    face_swap.py swap_batch fused path) must equal a plain sequential loop
+    over the SAME chunks — exact equality, covering result ordering and the
+    padded tail chunk (5 images, chunk=2 -> 3 chunks, tail padded to 2).
+
+    The reference is built at the same batch-2 compiled shape on purpose:
+    batch-1 vs batch-2 XLA programs round differently, and the parser's
+    argmax amplifies boundary-pixel ties into visible mask flips — a
+    batch-shape numeric property, not a threading bug, so not this test's
+    contract."""
+    import jax
+
+    from e4s_tpu.models.segnext import SegNeXtFaceParser
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    opts = small_swap_opts(tmp_path)
+    opts.faceParser_name = "segnext"
+    parser = SegNeXtFaceParser(variant="tiny", size=64)
+    swapper = FaceSwapper(opts, parser=parser)
+    assert swapper._swap_e2e is not None
+
+    rng = np.random.RandomState(0)
+    n, chunk = 5, 2
+    src = (rng.randint(0, 256, (n, 3, 64, 64)) / 255.0).astype(np.float32)
+    tgt = (rng.randint(0, 256, (n, 3, 64, 64)) / 255.0).astype(np.float32)
+
+    batched = swapper.swap_batch(src, tgt, chunk=chunk)
+    assert batched.shape == (n, 3, 64, 64)
+
+    # sequential oracle: same prep (uint8 quantise, pad tail), same program
+    outs = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        s = np.clip(src[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        t = np.clip(tgt[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if hi - lo < chunk:
+            rep = chunk - (hi - lo)
+            s = np.concatenate([s, s[-1:].repeat(rep, 0)])
+            t = np.concatenate([t, t[-1:].repeat(rep, 0)])
+        out_u8, _, _ = swapper._swap_e2e(
+            swapper.variables, swapper.parser.variables,
+            jax.device_put(s), jax.device_put(t), swapper.latent_avg,
+        )
+        outs.append(np.asarray(out_u8))
+    want = np.concatenate(outs)[:n]
+
+    np.testing.assert_array_equal(
+        np.round(batched * 255).astype(np.uint8), want
+    )
