@@ -103,6 +103,186 @@ def _make_op_stub():
     return op, fused_mod, up_mod, gradfix
 
 
+def _make_transforms_stub():
+    """``torchvision.transforms`` for the reference pipeline scripts:
+    Compose / ToTensor / Normalize with torchvision's documented semantics
+    (ToTensor: PIL/ndarray HWC uint8 -> float CHW in [0,1])."""
+    import numpy as np
+    import torch
+
+    class ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+            if t.dtype == torch.uint8:
+                return t.float().div(255.0)
+            return t.float()
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.tensor(mean, dtype=torch.float32)
+            self.std = torch.tensor(std, dtype=torch.float32)
+
+        def __call__(self, t):
+            return (t - self.mean[:, None, None]) / self.std[:, None, None]
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class Lambda:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, x):
+            return self.fn(x)
+
+    # datasets/dataset.py:8 imports torchvision.transforms.functional as TF
+    # and uses TF.hflip on PIL images (dataset.py:335)
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    def hflip(img):
+        from PIL import Image
+
+        if isinstance(img, torch.Tensor):
+            return torch.flip(img, dims=[-1])
+        return img.transpose(Image.FLIP_LEFT_RIGHT)
+
+    functional.hflip = hflip
+
+    mod = types.ModuleType("torchvision.transforms")
+    mod.__path__ = []  # package: 'import torchvision.transforms.functional'
+    mod.ToTensor = ToTensor
+    mod.Normalize = Normalize
+    mod.Compose = Compose
+    mod.Lambda = Lambda
+    mod.functional = functional
+    return mod, functional
+
+
+def _make_skimage_stub():
+    """``skimage`` subset used by the reference pipeline scripts.
+
+    ``transform.resize`` follows skimage's actual algorithm (which wraps the
+    same scipy.ndimage available here): optional gaussian anti-aliasing with
+    sigma = (downscale_factor - 1) / 2, then ``ndi.zoom`` with
+    ``grid_mode=True`` and skimage's 'reflect'->ndimage 'mirror' boundary
+    mapping. Written from the public skimage docs/semantics.
+    """
+    import numpy as np
+    import scipy.ndimage as ndi
+
+    def resize(image, output_shape, order=None, mode="reflect", cval=0.0,
+               clip=True, preserve_range=False, anti_aliasing=None,
+               anti_aliasing_sigma=None):
+        image = np.asarray(image, dtype=np.float64)
+        output_shape = tuple(output_shape)
+        if len(output_shape) < image.ndim:
+            output_shape = output_shape + image.shape[len(output_shape):]
+        in_shape = image.shape
+        factors = np.array(
+            [i / o for i, o in zip(in_shape, output_shape)], np.float64
+        )
+        if order is None:
+            order = 1
+        if anti_aliasing is None:
+            anti_aliasing = np.any(factors > 1)
+        ndi_mode = {"reflect": "mirror", "symmetric": "reflect",
+                    "edge": "nearest", "constant": "constant",
+                    "wrap": "wrap"}.get(mode, mode)
+        lo, hi = float(image.min()), float(image.max())
+        if anti_aliasing:
+            if anti_aliasing_sigma is None:
+                anti_aliasing_sigma = np.maximum(0.0, (factors - 1) / 2)
+            image = ndi.gaussian_filter(
+                image, anti_aliasing_sigma, cval=cval, mode=ndi_mode
+            )
+        zoom_factors = [1 / f for f in factors]
+        out = ndi.zoom(image, zoom_factors, order=order, mode=ndi_mode,
+                       cval=cval, grid_mode=True)
+        if clip:
+            out = np.clip(out, lo, hi)
+        return out
+
+    def img_as_ubyte(image):
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            return image
+        return np.clip(np.round(image * 255.0), 0, 255).astype(np.uint8)
+
+    transform = types.ModuleType("skimage.transform")
+    transform.resize = resize
+    io_mod = types.ModuleType("skimage.io")
+
+    def imread(path):
+        import imageio
+
+        return np.asarray(imageio.imread(path))
+
+    io_mod.imread = imread
+    sk = types.ModuleType("skimage")
+    sk.transform = transform
+    sk.io = io_mod
+    sk.img_as_ubyte = img_as_ubyte
+    sk.__version__ = "0.0-stub"
+    return sk, transform, io_mod
+
+
+@contextlib.contextmanager
+def no_pretrained_weights():
+    """Run reference model constructors without checkpoint files.
+
+    ``torch.load`` returns an empty self-indexing sentinel and
+    ``nn.Module.load_state_dict`` becomes a no-op, so every reference
+    wrapper keeps its seeded random init while its loading glue runs
+    unchanged. RetinaFaceDetection.check_keys (which asserts >=1 matching
+    key) is bypassed too.
+    """
+    import torch
+    from torch import nn
+
+    class _FakeStateDict(dict):
+        def __getitem__(self, k):
+            return self
+
+        def keys(self):
+            return {}.keys()
+
+    fake = _FakeStateDict()
+    orig_load = torch.load
+    orig_lsd = nn.Module.load_state_dict
+    torch.load = lambda *a, **k: fake
+
+    def _noop_lsd(self, state_dict, strict=True, **kw):
+        return types.SimpleNamespace(missing_keys=[], unexpected_keys=[])
+
+    nn.Module.load_state_dict = _noop_lsd
+    patched_ck = None
+    try:
+        from src.pretrained.gpen.face_detect.retinaface_detection import (
+            RetinaFaceDetection,
+        )
+
+        patched_ck = RetinaFaceDetection.check_keys
+        RetinaFaceDetection.check_keys = lambda self, sd: True
+    except Exception:
+        RetinaFaceDetection = None
+    try:
+        yield
+    finally:
+        torch.load = orig_load
+        nn.Module.load_state_dict = orig_lsd
+        if patched_ck is not None:
+            RetinaFaceDetection.check_keys = patched_ck
+
+
 def _make_torchvision_stub():
     """Minimal ``torchvision`` for the reference's imports: BiSeNet's
     model.py:8 only imports the name; LPIPS's networks.py needs
@@ -143,17 +323,134 @@ def _make_torchvision_stub():
         m.features = nn.Sequential(*layers)
         return m
 
+    def resnet50(pretrained=False, **kw):
+        """Canonical ResNet-50 (Bottleneck 3-4-6-3, v1.5: stride on conv2),
+        written from the public torchvision architecture/naming so the
+        reference's RetinaFace (facemodels/retinaface.py:68-72) can tap
+        layer2/3/4 via IntermediateLayerGetter. Random init only."""
+        assert not pretrained, "no egress: pretrained weights unavailable"
+
+        class Bottleneck(nn.Module):
+            def __init__(self, inplanes, planes, stride=1, downsample=None):
+                super().__init__()
+                self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(planes)
+                self.conv2 = nn.Conv2d(
+                    planes, planes, 3, stride, 1, bias=False
+                )
+                self.bn2 = nn.BatchNorm2d(planes)
+                self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+                self.bn3 = nn.BatchNorm2d(planes * 4)
+                self.relu = nn.ReLU(inplace=True)
+                self.downsample = downsample
+
+            def forward(self, x):
+                idn = x
+                out = self.relu(self.bn1(self.conv1(x)))
+                out = self.relu(self.bn2(self.conv2(out)))
+                out = self.bn3(self.conv3(out))
+                if self.downsample is not None:
+                    idn = self.downsample(x)
+                return self.relu(out + idn)
+
+        class ResNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.inplanes = 64
+                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.relu = nn.ReLU(inplace=True)
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                self.layer1 = self._make_layer(64, 3, 1)
+                self.layer2 = self._make_layer(128, 4, 2)
+                self.layer3 = self._make_layer(256, 6, 2)
+                self.layer4 = self._make_layer(512, 3, 2)
+                self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+                self.fc = nn.Linear(512 * 4, 1000)
+
+            def _make_layer(self, planes, blocks, stride):
+                downsample = nn.Sequential(
+                    nn.Conv2d(
+                        self.inplanes, planes * 4, 1, stride, bias=False
+                    ),
+                    nn.BatchNorm2d(planes * 4),
+                )
+                layers = [
+                    Bottleneck(self.inplanes, planes, stride, downsample)
+                ]
+                self.inplanes = planes * 4
+                layers += [
+                    Bottleneck(self.inplanes, planes)
+                    for _ in range(1, blocks)
+                ]
+                return nn.Sequential(*layers)
+
+            def forward(self, x):
+                x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+                x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+                return self.fc(self.avgpool(x).flatten(1))
+
+        return ResNet()
+
     models = types.ModuleType("torchvision.models")
+    models.__path__ = []  # mark as package: retinaface.py imports submodules
     models.alexnet = alexnet
     models.vgg16 = vgg16
+    models.resnet50 = resnet50
 
     def _unavailable(*a, **k):
         raise NotImplementedError("squeezenet stub not provided")
 
     models.squeezenet1_1 = _unavailable
+
+    # GPEN's RetinaFace (face_detect/facemodels/retinaface.py:3-4) imports
+    # models.detection.backbone_utils (name only for the mobilenet config)
+    # and models._utils.IntermediateLayerGetter (used to tap backbone
+    # stages). IntermediateLayerGetter implemented from its public
+    # documented contract: run children in order, collect renamed outputs.
+    from collections import OrderedDict
+
+    class IntermediateLayerGetter(nn.ModuleDict):
+        def __init__(self, model, return_layers):
+            orig = {str(k): str(v) for k, v in return_layers.items()}
+            remaining = dict(orig)
+            layers = OrderedDict()
+            for name, module in model.named_children():
+                layers[name] = module
+                if name in remaining:
+                    del remaining[name]
+                if not remaining:
+                    break
+            super().__init__(layers)
+            self.return_layers = orig
+
+        def forward(self, x):
+            out = OrderedDict()
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    m_utils = types.ModuleType("torchvision.models._utils")
+    m_utils.IntermediateLayerGetter = IntermediateLayerGetter
+    detection = types.ModuleType("torchvision.models.detection")
+    detection.__path__ = []
+    backbone_utils = types.ModuleType(
+        "torchvision.models.detection.backbone_utils"
+    )
+    models._utils = m_utils
+    models.detection = detection
+    detection.backbone_utils = backbone_utils
+
     tv = types.ModuleType("torchvision")
     tv.models = models
     tv.__version__ = "0.0-stub"
+    tv._submodules = {
+        "torchvision.models._utils": m_utils,
+        "torchvision.models.detection": detection,
+        "torchvision.models.detection.backbone_utils": backbone_utils,
+    }
     return tv, models
 
 
@@ -174,6 +471,21 @@ def install():
             import torchvision  # noqa: F401  (real one, if present)
         except ImportError:
             tv, models = _make_torchvision_stub()
+            transforms, tf_functional = _make_transforms_stub()
+            tv.transforms = transforms
+            tv.utils = types.ModuleType("torchvision.utils")
             sys.modules["torchvision"] = tv
             sys.modules["torchvision.models"] = models
+            sys.modules["torchvision.transforms"] = transforms
+            sys.modules["torchvision.transforms.functional"] = tf_functional
+            sys.modules["torchvision.utils"] = tv.utils
+            sys.modules.update(tv._submodules)
+    if "skimage" not in sys.modules:
+        try:
+            import skimage  # noqa: F401  (real one, if present)
+        except ImportError:
+            sk, sk_transform, sk_io = _make_skimage_stub()
+            sys.modules["skimage"] = sk
+            sys.modules["skimage.transform"] = sk_transform
+            sys.modules["skimage.io"] = sk_io
     _installed = True
