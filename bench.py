@@ -17,19 +17,32 @@ end-to-end pipeline on the host CPU backend (cached in
 CUDA ops) and report vs_baseline = tpu_e2e / (5 * cpu_e2e); >= 1.0 means the
 target is met.
 
+Time budget: the driver runs this under a hard timeout (BENCH_r04 died at
+rc 124 with ZERO output). Defenses, in order:
+  - a global deadline (BENCH_DEADLINE_S, default 1500 s from process start);
+    each stage has a calibrated cost estimate and is skipped (recorded in
+    "skipped_stages") when the remaining budget can't cover it;
+  - the one JSON line is (re)printed after EVERY completed stage — the driver
+    parses the tail, so a partial result survives any later hang;
+  - SIGTERM/SIGALRM handlers print the current partial JSON before dying.
+
 Env knobs: BENCH_OUT_SIZE, BENCH_ITERS, BENCH_BF16, BENCH_FAST=1 (core-only),
 BENCH_SKIP_CPU_BASELINE, BENCH_BATCH64=0 to skip config #5,
-BENCH_INVERSION_STEPS.
+BENCH_INVERSION_STEPS, BENCH_DEADLINE_S, BENCH_TRAIN_STEPS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 import types
 
 import numpy as np
+
+_START = time.monotonic()
 
 OUT_SIZE = int(os.environ.get("BENCH_OUT_SIZE", "1024"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
@@ -38,9 +51,18 @@ BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
 RUN_BATCH64 = os.environ.get("BENCH_BATCH64", "1") == "1"
 INVERSION_STEPS = int(os.environ.get("BENCH_INVERSION_STEPS", "200"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 EXAMPLE_DIR = os.path.join(REPO, "example", "input", "faceswap")
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _START
+
+
+def _remaining() -> float:
+    return DEADLINE_S - _elapsed()
 
 
 def _sync(x):
@@ -208,12 +230,16 @@ def _bench_e2e(iters):
 
 def _bench_batch64(swapper):
     """Batched 64-image throughput (config #5): one swap_batch call — it
-    chunks internally and pipelines uploads one chunk ahead of compute."""
-    chunk = int(os.environ.get("BENCH_BATCH_CHUNK", "8"))
+    chunks internally and pipelines uploads one chunk ahead of compute.
+
+    Inputs are uint8 (images come off disk as uint8; the fused program
+    consumes uint8 directly). The measured pipeline is upload-bound at the
+    tunnel's ~26 MB/s: 64 pairs = 403 MB up → ~4.2 swaps/s at chunk 16."""
+    chunk = int(os.environ.get("BENCH_BATCH_CHUNK", "16"))
     n = 64
     rng = np.random.RandomState(0)
-    src = rng.rand(n, 3, OUT_SIZE, OUT_SIZE).astype(np.float32)
-    tgt = rng.rand(n, 3, OUT_SIZE, OUT_SIZE).astype(np.float32)
+    src = rng.randint(0, 256, (n, 3, OUT_SIZE, OUT_SIZE), dtype=np.uint8)
+    tgt = rng.randint(0, 256, (n, 3, OUT_SIZE, OUT_SIZE), dtype=np.uint8)
     # warmup: compile the batch-`chunk` fused program once
     swapper.swap_batch(src[:chunk], tgt[:chunk], chunk=chunk)
     t0 = time.perf_counter()
@@ -328,8 +354,11 @@ def _bench_training(steps=None):
     from e4s_tpu.parallel.mesh import shard_batch
     from e4s_tpu.training.coach import Coach
 
-    steps = steps or int(os.environ.get("BENCH_TRAIN_STEPS", "200"))
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))  # ref per-GPU batch
+    steps = steps or int(os.environ.get("BENCH_TRAIN_STEPS", "50"))
+    # per-chip batch 4 beats the reference's per-GPU 2 (an A100-memory
+    # artifact): 8.69 vs 7.67 img/s/chip on v5e (round-5 A/B, DESIGN.md §6;
+    # B=8 OOMs the G step by ~1G). Needs the packed-D head (default on).
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
     opts = _t.SimpleNamespace(
         exp_dir="/tmp/e4s_tpu_bench_train", num_seg_cls=12, out_size=OUT_SIZE,
         remaining_layer_idx=13, n_styles=18, fast_masked=True,
@@ -353,11 +382,20 @@ def _bench_training(steps=None):
 
     rng = jax.random.PRNGKey(0)
     g_losses = []
-    # warmup: one D + one G step (compiles both programs)
-    coach.state, _ = coach._compiled_d(coach.state, img, onehot, rng)
-    coach.state, l0 = coach._compiled_g(coach.state, img, label, onehot, rng)
-    _sync(l0["loss"])
-    t0 = time.perf_counter()
+    # warmup: 2x D + 2x G (the axon runtime's first TWO executions of a large
+    # program are 100-250 s each — DESIGN.md §6; both must be burned before
+    # timing)
+    for _ in range(2):
+        coach.state, _ = coach._compiled_d(coach.state, img, onehot, rng)
+        coach.state, l0 = coach._compiled_g(coach.state, img, label, onehot, rng)
+        _sync(l0["loss"])
+    # steps dispatch asynchronously (pipelined, the deployment-realistic
+    # rate); sync only at segment boundaries so a stray runtime hiccup
+    # poisons one segment, not the whole window — median segment wins
+    seg = max(5, steps // 5)
+    seg_times = []
+    t_seg = time.perf_counter()
+    t_all = t_seg
     for i in range(steps):
         rng, k = jax.random.split(rng)
         if (i + 1) % 15 == 0:
@@ -366,19 +404,27 @@ def _bench_training(steps=None):
             coach.state, img, label, onehot, k
         )
         g_losses.append(losses["loss"])
-    first = float(np.mean([_sync(x) for x in g_losses[:20]]))
-    last = float(np.mean([_sync(x) for x in g_losses[-20:]]))
-    dt = time.perf_counter() - t0
+        if (i + 1) % seg == 0:
+            _sync(losses["loss"])
+            now = time.perf_counter()
+            seg_times.append((now - t_seg) / seg)
+            t_seg = now
+    _sync(g_losses[-1])
+    dt = time.perf_counter() - t_all
+    first = float(np.mean([_sync(x) for x in g_losses[: min(20, steps // 2)]]))
+    last = float(np.mean([_sync(x) for x in g_losses[-min(20, steps // 2):]]))
+    med = float(np.median(seg_times)) if seg_times else dt / steps
 
     retraces = 0
     for fn in (coach._compiled_g, coach._compiled_d):
         n = getattr(fn, "_cache_size", lambda: 1)()
         retraces += max(0, n - 1)
     return {
-        "img_per_sec": steps * B / dt,
-        "sec_per_step": dt / steps,
-        "loss_first20": first,
-        "loss_last20": last,
+        "img_per_sec": B / med,
+        "sec_per_step": med,
+        "sec_per_step_mean": dt / steps,
+        "loss_first": first,
+        "loss_last": last,
         "loss_decreased": bool(last < first),
         "retraces": retraces,
         "steps": steps,
@@ -530,155 +576,56 @@ def _cpu_baseline():
 
 # ---------------------------------- main ------------------------------------
 
+# The single result object, mutated by stages and (re)printed after each one.
+# Keys are pre-seeded so every partial print is schema-complete.
+_RESULT: dict = {
+    "metric": "e2e_1024px_swaps_per_sec_per_chip",
+    "value": None,
+    "unit": "swaps/s",
+    "vs_baseline": None,
+    "p50_latency_ms": None,
+    "e2e_full_swaps_per_sec": None,
+    "e2e_full_p50_latency_ms": None,
+    "core_swaps_per_sec": None,
+    "core_p50_latency_ms": None,
+    "core_batch8_swaps_per_sec": None,
+    "train_img_per_sec_per_chip": None,
+    "train_detail": None,
+    "torch_ref_core_swaps_per_sec": None,
+    "inversion_iters_per_sec": None,
+    "segnext_lapbld_swaps_per_sec": None,
+    "edit_sweep_edits_per_sec": None,
+    "batch64_swaps_per_sec": None,
+    "batch_chunk": None,
+    "out_size": OUT_SIZE,
+    "backend": None,
+    "bf16": BF16,
+    "cpu_baseline_e2e_swaps_per_sec": None,
+    "baseline_note": None,
+    "skipped_stages": [],
+    "failed_stages": [],
+    "stage_s": {},
+    "deadline_s": DEADLINE_S,
+    "elapsed_s": None,
+}
 
-def main():
-    import jax
 
-    from e4s_tpu.utils.compile_cache import enable_compile_cache
+def _refresh_derived():
+    """vs_baseline + headline metric from whatever has been measured so far.
 
-    enable_compile_cache()
-
-    core, args = _build_core()
-    core_s, core_p50 = _time_core(core, args, ITERS)
-    core_sps = BATCH / core_s
-    del core, args
-
-    # device-resident batched core (no per-iter transfers): the chip's actual
-    # swap capability, vs the tunnel-bound e2e numbers
-    core_b8_sps = None
-    if not FAST and os.environ.get("BENCH_CORE_BATCH", "1") == "1":
-        try:
-            b = int(os.environ.get("BENCH_CORE_BATCH_N", "8"))
-            core_b, args_b = _build_core(batch=b)
-            s, _ = _time_core(core_b, args_b, max(2, ITERS // 2))
-            core_b8_sps = b / s
-            del core_b, args_b
-        except Exception as e:
-            print(f"[bench] core batch failed: {type(e).__name__}: {e}")
-
-    if FAST:
-        result = {
-            "metric": "1024px_swap_core_per_sec_per_chip",
-            "value": round(core_sps, 4),
-            "unit": "swaps/s",
-            "vs_baseline": None,
-            "p50_latency_ms": round(core_p50 * 1000, 2),
-            "out_size": OUT_SIZE,
-            "backend": jax.default_backend(),
-            "bf16": BF16,
-        }
-        print(json.dumps(result))
-        return
-
-    swapper, e2e_sps, e2e_p50 = _bench_e2e(ITERS)
-
-    e2e_full_sps = e2e_full_p50 = None
-    if os.environ.get("BENCH_FULL", "1") == "1":
-        try:
-            e2e_full_sps, e2e_full_p50 = _bench_e2e_full(max(2, ITERS // 3))
-        except Exception as e:
-            print(f"[bench] full e2e failed: {type(e).__name__}: {e}")
-
-    batch64_sps = batch_chunk = None
-    if RUN_BATCH64:
-        try:
-            batch64_sps, batch_chunk = _bench_batch64(swapper)
-        except Exception as e:
-            print(f"[bench] batch64 failed: {type(e).__name__}: {e}")
-    del swapper
-
-    edit_eps = None
-    try:
-        edit_eps = _bench_edit_sweep()
-    except Exception as e:
-        print(f"[bench] edit sweep failed: {type(e).__name__}: {e}")
-
-    cfg3_sps = None
-    if os.environ.get("BENCH_CFG3", "1") == "1":
-        try:
-            cfg3_sps = _bench_segnext_lapbld(max(2, ITERS // 3))
-        except Exception as e:
-            print(f"[bench] segnext+lap_bld failed: {type(e).__name__}: {e}")
-
-    inv_ips = None
-    try:
-        inv_ips = _bench_inversion(INVERSION_STEPS)
-    except Exception as e:
-        print(f"[bench] inversion failed: {type(e).__name__}: {e}")
-
-    train = None
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
-        try:
-            train = _bench_training()
-        except Exception as e:
-            print(f"[bench] training failed: {type(e).__name__}: {e}")
-
-    torch_ref = None
-    try:
-        torch_ref = _torch_reference_baseline()
-    except Exception as e:
-        print(f"[bench] torch reference baseline failed: {type(e).__name__}: {e}")
-
-    cpu = None
-    try:
-        cpu = _cpu_baseline()
-    except Exception as e:
-        print(f"[bench] cpu baseline failed: {type(e).__name__}: {e}")
-
-    # vs_baseline: >=5x the CPU reference (BASELINE.md). The truest available
-    # reference is the ACTUAL torch reference core on this host's CPU
-    # (random init, fp32); fall back to the older self-referential JAX-CPU
-    # e2e ratio when the torch import is unavailable.
-    torch_core = torch_ref.get("core_swaps_per_sec") if torch_ref else None
-    cpu_e2e = cpu.get("e2e_swaps_per_sec") if cpu else None
-    if torch_core:
-        vs_baseline = core_sps / (5.0 * torch_core)
-    elif cpu_e2e:
-        vs_baseline = e2e_sps / (5.0 * cpu_e2e)
-    elif cpu and cpu.get("swaps_per_sec"):
-        vs_baseline = core_sps / (5.0 * cpu["swaps_per_sec"])
-    else:
-        vs_baseline = None
-    result = {
-        "metric": "e2e_1024px_swaps_per_sec_per_chip",
-        "value": round(e2e_sps, 4),
-        "unit": "swaps/s",
-        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
-        "p50_latency_ms": round(e2e_p50 * 1000, 2),
-        "e2e_full_swaps_per_sec": (
-            round(e2e_full_sps, 4) if e2e_full_sps else None
-        ),
-        "e2e_full_p50_latency_ms": (
-            round(e2e_full_p50 * 1000, 2) if e2e_full_p50 else None
-        ),
-        "core_swaps_per_sec": round(core_sps, 4),
-        "core_p50_latency_ms": round(core_p50 * 1000, 2),
-        "core_batch8_swaps_per_sec": (
-            round(core_b8_sps, 4) if core_b8_sps else None
-        ),
-        "train_img_per_sec_per_chip": (
-            round(train["img_per_sec"], 3) if train else None
-        ),
-        "train_detail": train,
-        "torch_ref_core_swaps_per_sec": (
-            round(torch_core, 5) if torch_core else None
-        ),
-        "inversion_iters_per_sec": round(inv_ips, 2) if inv_ips else None,
-        "segnext_lapbld_swaps_per_sec": (
-            round(cfg3_sps, 4) if cfg3_sps else None
-        ),
-        "edit_sweep_edits_per_sec": round(edit_eps, 3) if edit_eps else None,
-        "batch64_swaps_per_sec": (
-            round(batch64_sps, 4) if batch64_sps else None
-        ),
-        "batch_chunk": batch_chunk,
-        "out_size": OUT_SIZE,
-        "backend": jax.default_backend(),
-        "bf16": BF16,
-        "cpu_baseline_e2e_swaps_per_sec": (
-            round(cpu_e2e, 5) if cpu_e2e else None
-        ),
-        "baseline_note": (
+    vs_baseline: >=5x the CPU reference (BASELINE.md). The truest available
+    reference is the ACTUAL torch reference core on this host's CPU (random
+    init, fp32); fall back to the self-referential JAX-CPU e2e ratio when the
+    torch import is unavailable.
+    """
+    r = _RESULT
+    torch_core = r["torch_ref_core_swaps_per_sec"]
+    cpu_e2e = r["cpu_baseline_e2e_swaps_per_sec"]
+    core_sps = r["core_swaps_per_sec"]
+    e2e_sps = r.get("_e2e_sps")
+    if torch_core and core_sps:
+        r["vs_baseline"] = round(core_sps / (5.0 * torch_core), 4)
+        r["baseline_note"] = (
             "vs_baseline = core_tpu / (5 * core_torch_reference_cpu): the "
             "actual reference PyTorch modules (CUDA ops stubbed pure-torch) "
             "timed on this host's CPU, cached in "
@@ -686,12 +633,225 @@ def main():
             f"batch-{BATCH} {'bf16' if BF16 else 'fp32'}; torch core is "
             "batch-1 fp32 (torch-CPU bf16 is not representative). This "
             "definition (core vs torch core) is the stable one from r04 on."
-            if torch_core else
+        )
+    elif cpu_e2e and e2e_sps:
+        r["vs_baseline"] = round(e2e_sps / (5.0 * cpu_e2e), 4)
+        r["baseline_note"] = (
             "vs_baseline = e2e_tpu / (5 * e2e_cpu_jax) — torch reference "
             "import unavailable; JAX-CPU fallback"
-        ),
-    }
-    print(json.dumps(result))
+        )
+    # headline: e2e once measured; the core number until then
+    if e2e_sps:
+        r["metric"] = "e2e_1024px_swaps_per_sec_per_chip"
+        r["value"] = round(e2e_sps, 4)
+        r["p50_latency_ms"] = r.get("_e2e_p50_ms")
+    elif core_sps:
+        r["metric"] = "1024px_swap_core_per_sec_per_chip"
+        r["value"] = round(core_sps, 4)
+        r["p50_latency_ms"] = r["core_p50_latency_ms"]
+
+
+def _emit():
+    _refresh_derived()
+    _RESULT["elapsed_s"] = round(_elapsed(), 1)
+    out = {k: v for k, v in _RESULT.items() if not k.startswith("_")}
+    print(json.dumps(out), flush=True)
+
+
+def _install_guards():
+    """Print the partial JSON even if the driver kills us or a stage hangs.
+
+    - SIGTERM/SIGALRM handlers emit before dying (covers `timeout`'s TERM).
+    - A daemon watchdog THREAD emits at deadline+grace and hard-exits: signal
+      handlers only run between Python bytecodes in the main thread, so a
+      stage blocked inside a C call (axon RPC) would otherwise suppress them.
+    """
+    import threading
+
+    def on_signal(signum, frame):
+        _RESULT["terminated_by"] = signal.Signals(signum).name
+        _emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    try:
+        signal.signal(signal.SIGALRM, on_signal)
+        signal.alarm(int(DEADLINE_S + 90))
+    except Exception:
+        pass
+
+    def watchdog():
+        grace = DEADLINE_S + 60 - _elapsed()
+        if grace > 0:
+            time.sleep(grace)
+        _RESULT["terminated_by"] = "watchdog"
+        _emit()
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
+def _stage(name: str, est_cost_s: float, fn, always: bool = False):
+    """Run one bench stage under the global deadline.
+
+    Skips (recording why) when the remaining budget can't cover the stage's
+    calibrated cost estimate; catches failures; re-emits the JSON line after
+    every attempt so the tail is always the freshest complete snapshot.
+    """
+    est = float(os.environ.get(f"BENCH_EST_{name.upper()}", est_cost_s))
+    if not always and _remaining() < est:
+        _RESULT["skipped_stages"].append(name)
+        print(
+            f"[bench] SKIP {name}: est {est:.0f}s > remaining "
+            f"{_remaining():.0f}s",
+            file=sys.stderr, flush=True,
+        )
+        _emit()
+        return None
+    t0 = time.monotonic()
+    try:
+        out = fn()
+        _RESULT["stage_s"][name] = round(time.monotonic() - t0, 1)
+        return out
+    except Exception as e:
+        print(f"[bench] {name} failed: {type(e).__name__}: {e}", flush=True)
+        _RESULT["failed_stages"].append(name)
+        _RESULT["stage_s"][name] = round(time.monotonic() - t0, 1)
+        return None
+    finally:
+        _emit()
+
+
+def _cache_fresh(path: str) -> bool:
+    try:
+        with open(path) as f:
+            return json.load(f).get("out_size") == OUT_SIZE
+    except Exception:
+        return False
+
+
+def main():
+    import jax
+
+    from e4s_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    _install_guards()
+    _RESULT["backend"] = jax.default_backend()
+
+    # ---- core (always: nothing to report without it) ----
+    def st_core():
+        core, args = _build_core()
+        core_s, core_p50 = _time_core(core, args, ITERS)
+        _RESULT["core_swaps_per_sec"] = round(BATCH / core_s, 4)
+        _RESULT["core_p50_latency_ms"] = round(core_p50 * 1000, 2)
+
+    _stage("core", 240, st_core, always=True)
+
+    # ---- baselines (committed caches make these ~free; fresh runs are
+    # minutes of torch/JAX-CPU time and only run with budget to spare) ----
+    def st_torch_ref():
+        d = _torch_reference_baseline()
+        if d:
+            _RESULT["torch_ref_core_swaps_per_sec"] = round(
+                d["core_swaps_per_sec"], 5
+            )
+
+    _stage(
+        "torch_ref", 15 if _cache_fresh(TORCH_REF_CACHE) else 700,
+        st_torch_ref,
+    )
+
+    def st_cpu():
+        d = _cpu_baseline()
+        if d and d.get("e2e_swaps_per_sec"):
+            _RESULT["cpu_baseline_e2e_swaps_per_sec"] = round(
+                d["e2e_swaps_per_sec"], 5
+            )
+
+    _stage("cpu_baseline", 10 if _cache_fresh(CPU_BASELINE_CACHE) else 900,
+           st_cpu)
+
+    if FAST:
+        _RESULT["metric"] = "1024px_swap_core_per_sec_per_chip"
+        _emit()
+        return
+
+    # ---- e2e (the headline metric) ----
+    swapper_box = {}
+
+    def st_e2e():
+        swapper, e2e_sps, e2e_p50 = _bench_e2e(ITERS)
+        swapper_box["swapper"] = swapper
+        _RESULT["_e2e_sps"] = e2e_sps
+        _RESULT["_e2e_p50_ms"] = round(e2e_p50 * 1000, 2)
+
+    _stage("e2e", 200, st_e2e)
+
+    # ---- training throughput (never yet seen by the driver: first) ----
+    def st_training():
+        train = _bench_training()
+        _RESULT["train_detail"] = train
+        _RESULT["train_img_per_sec_per_chip"] = round(
+            train["img_per_sec"], 3
+        )
+
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        _stage("training", 420, st_training)
+
+    # ---- TRUE config #1 (reenact + restore + swap, device-resident) ----
+    def st_e2e_full():
+        sps, p50 = _bench_e2e_full(max(2, ITERS // 3))
+        _RESULT["e2e_full_swaps_per_sec"] = round(sps, 4)
+        _RESULT["e2e_full_p50_latency_ms"] = round(p50 * 1000, 2)
+
+    if os.environ.get("BENCH_FULL", "1") == "1":
+        _stage("e2e_full", 420, st_e2e_full)
+
+    # ---- config #5: batched 64-image throughput ----
+    def st_batch64():
+        sps, chunk = _bench_batch64(swapper_box["swapper"])
+        _RESULT["batch64_swaps_per_sec"] = round(sps, 4)
+        _RESULT["batch_chunk"] = chunk
+
+    if RUN_BATCH64 and "swapper" in swapper_box:
+        _stage("batch64", 150, st_batch64)
+    swapper_box.clear()
+
+    # ---- config #3: SegNeXt + lap_bld + verbose ----
+    def st_cfg3():
+        _RESULT["segnext_lapbld_swaps_per_sec"] = round(
+            _bench_segnext_lapbld(max(2, ITERS // 3)), 4
+        )
+
+    if os.environ.get("BENCH_CFG3", "1") == "1":
+        _stage("segnext_lapbld", 240, st_cfg3)
+
+    # ---- config #4: inversion ----
+    def st_inversion():
+        _RESULT["inversion_iters_per_sec"] = round(
+            _bench_inversion(INVERSION_STEPS), 2
+        )
+
+    _stage("inversion", 200, st_inversion)
+
+    # ---- config #2: edit sweep ----
+    def st_edit():
+        _RESULT["edit_sweep_edits_per_sec"] = round(_bench_edit_sweep(), 3)
+
+    _stage("edit_sweep", 150, st_edit)
+
+    # ---- device-resident batched core (chip capability number) ----
+    def st_core_batch():
+        b = int(os.environ.get("BENCH_CORE_BATCH_N", "8"))
+        core_b, args_b = _build_core(batch=b)
+        s, _ = _time_core(core_b, args_b, max(2, ITERS // 2))
+        _RESULT["core_batch8_swaps_per_sec"] = round(b / s, 4)
+
+    if os.environ.get("BENCH_CORE_BATCH", "1") == "1":
+        _stage("core_batch8", 120, st_core_batch)
+
+    _emit()
 
 
 if __name__ == "__main__":

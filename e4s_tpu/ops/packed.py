@@ -44,14 +44,17 @@ from e4s_tpu.ops.upfirdn2d import make_kernel
 
 
 def packed_d_wanted() -> bool:
-    """E4S_TPU_PACKED_D=1 enables the packed discriminator head (default
-    OFF). Measured DEAD EVEN on v5e (interleaved A/B, bf16 batch-2 D
-    forward @1024²: 25.27 ms off vs 25.25 ms on): unlike the NHWC
-    generator, the discriminator runs NCHW convs, whose XLA:TPU layouts
-    keep the wide spatial dim in the 128-lane axis — so its 32/64-channel
-    head never pays the lane padding the packed relabeling removes. Kept
-    as a verified opt-in for an NHWC-discriminator future."""
-    return os.environ.get("E4S_TPU_PACKED_D", "") == "1"
+    """Packed discriminator head (default ON; E4S_TPU_PACKED_D=0 disables).
+
+    Speed is a wash on v5e (interleaved A/B, bf16 batch-2 D forward @1024²:
+    25.27 ms off vs 25.25 ms on) — the D's NCHW conv FORWARD layouts keep
+    the wide spatial dim on the 128-lane axis either way. But the D-step
+    BACKWARD at per-chip batch >= 4 chooses channels-minor temp layouts for
+    the 32-channel 1024² blocks (4x lane padding, 38% HBM utilization) and
+    runs out of HBM: 18.3G needed vs 15.75G. With the packed head the same
+    step fits and B=4 trains at 8.7 img/s/chip (round-5 A/B, DESIGN.md §6),
+    so packed is the default."""
+    return os.environ.get("E4S_TPU_PACKED_D", "") != "0"
 
 
 def packed_d_max_ch() -> int:

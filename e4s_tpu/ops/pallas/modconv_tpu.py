@@ -172,7 +172,15 @@ def pallas_supported_shape(H: int, W: int, Ci: int, Co: int) -> bool:
     (all masked generator layers at >=128^2 qualify: Ci, Co in
     {128, 256, 512}); smaller channel counts would waste most of each
     VMEM lane tile, where the XLA path is already fine.
+
+    E4S_TPU_PALLAS_LANE_MIN=64 opt-in extends the gate to the 64-channel
+    512^2 masked octave (half-packed lanes, K=64 matmuls): A/B'd on v5e in
+    round 5 and measured SLOWER, so 128 stays the default — the knob
+    remains for re-measurement on other chips (see DESIGN.md).
     """
-    if W < 128 or H < 8 or Ci % 128 != 0 or Co % 128 != 0:
+    import os
+
+    lane_min = int(os.environ.get("E4S_TPU_PALLAS_LANE_MIN", "128"))
+    if W < 128 or H < 8 or Ci % lane_min != 0 or Co % lane_min != 0:
         return False
     return _pick_th(H, W, Ci, Co) is not None

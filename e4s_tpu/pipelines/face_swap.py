@@ -65,6 +65,7 @@ class FaceSwapper:
                 if getattr(self.parser, "taxonomy", "ffhq19") == "celeba19"
                 else 512,
                 taxonomy=getattr(self.parser, "taxonomy", "ffhq19"),
+                lap_bld=bool(getattr(opts, "lap_bld", False)),
             ))
             if hasattr(self.parser, "model") else None
         )
@@ -104,6 +105,28 @@ class FaceSwapper:
         from e4s_tpu.pipelines.swap_core import parse12_host
 
         return parse12_host(self.parser, arr01)
+
+    def _save_verbose(self, save_dir, d_lab, t_lab, s_lab):
+        """Dump the verbose mask intermediates (same files as the staged
+        path / the reference's --verbose, ref: scripts/face_swap.py:197-258)
+        from the label maps the fused program returns."""
+        from PIL import Image
+
+        os.makedirs(save_dir, exist_ok=True)
+        T_mask = np.asarray(t_lab[0]).astype(np.uint8)
+        D_mask = np.asarray(d_lab[0]).astype(np.uint8)
+        S_mask = np.asarray(s_lab[0]).astype(np.uint8)
+        Image.fromarray(T_mask).save(os.path.join(save_dir, "T_mask.png"))
+        Image.fromarray(D_mask).save(os.path.join(save_dir, "D_mask.png"))
+        Image.fromarray(vis_mask_in_color(T_mask)).save(
+            os.path.join(save_dir, "T_mask_vis.png")
+        )
+        Image.fromarray(S_mask).save(
+            os.path.join(save_dir, "swappedMask.png")
+        )
+        Image.fromarray(vis_mask_in_color(S_mask)).save(
+            os.path.join(save_dir, "swappedMaskVis.png")
+        )
 
     def _reenact_restore(self, S01, T01):
         """Stage (2): FaceVid2Vid re-enactment at its native 256^2, GPEN
@@ -213,12 +236,10 @@ class FaceSwapper:
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
 
-        fused_ok = (
-            self._swap_e2e is not None
-            and target_mask is None
-            and not verbose
-            and not getattr(opts, "lap_bld", False)
-        )
+        # The fused program covers feather AND lap_bld stitches (compiled-in)
+        # plus verbose dumps (the label maps come back as tiny downloads);
+        # only a caller-supplied target mask still needs the staged path.
+        fused_ok = self._swap_e2e is not None and target_mask is None
 
         # fully device-resident path: reenact + restore + parse + swap +
         # stitch with only the two uint8 uploads and one uint8 download
@@ -231,10 +252,12 @@ class FaceSwapper:
             )
             d_dev = self._device_chain(s_dev, t_dev)
             if d_dev is not None:
-                out_u8, _, _ = self._swap_e2e(
+                out_u8, s_lab, _, d_lab, t_lab = self._swap_e2e(
                     self.variables, self.parser.variables,
                     d_dev, t_dev, self.latent_avg,
                 )
+                if verbose and save_dir:
+                    self._save_verbose(save_dir, d_lab, t_lab, s_lab)
                 return Image.fromarray(
                     np.transpose(np.asarray(out_u8[0]), (1, 2, 0))
                 )
@@ -246,14 +269,16 @@ class FaceSwapper:
 
         # default fast path: the whole parse->swap->stitch program on device,
         # 2 uint8 uploads + 1 uint8 download. The staged path below remains
-        # for target-mask overrides, Laplacian blending, and verbose dumps.
+        # for target-mask overrides.
         if fused_ok:
             src_u8 = np.clip(D01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
             tgt_u8 = np.clip(T01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            out_u8, _, _ = self._swap_e2e(
+            out_u8, s_lab, _, d_lab, t_lab = self._swap_e2e(
                 self.variables, self.parser.variables,
                 jnp.asarray(src_u8), jnp.asarray(tgt_u8), self.latent_avg,
             )
+            if verbose and save_dir:
+                self._save_verbose(save_dir, d_lab, t_lab, s_lab)
             return Image.fromarray(
                 np.transpose(np.asarray(out_u8[0]), (1, 2, 0))
             )
@@ -337,14 +362,28 @@ class FaceSwapper:
 
         BASELINE config #5: batched CelebAMask-HQ swap throughput with the
         parser + encoder + generator pipelined on TPU. Arrays are [N,3,S,S]
-        float in [0,1]; returns the swapped faces as [N,3,S,S] in [0,1]
-        (stitched with the default feather).
+        float in [0,1] (returns float [0,1]) or uint8 (returns uint8 — the
+        fast path: images come off disk/camera as uint8 and the fused
+        program consumes uint8 directly), stitched with the default feather.
         """
-        S01 = np.asarray(source_arrays, np.float32)
-        T01 = np.asarray(target_arrays, np.float32)
         opts = self.opts
-
-        D01 = self._reenact_restore(S01, T01)
+        # uint8 fast path: images arrive as uint8 (PIL/camera frames); the
+        # fused program takes uint8 directly, so skip the float round-trip
+        # (a [64,3,1024,1024] f32 convert is ~1.5 GB of host traffic)
+        u8_in = (
+            np.asarray(source_arrays).dtype == np.uint8
+            and np.asarray(target_arrays).dtype == np.uint8
+            and self.reenactor is None
+            and self._swap_e2e is not None
+            and target_masks is None
+        )
+        if u8_in:
+            D01 = np.asarray(source_arrays)
+            T01 = np.asarray(target_arrays)
+        else:
+            S01 = np.asarray(source_arrays, np.float32)
+            T01 = np.asarray(target_arrays, np.float32)
+            D01 = self._reenact_restore(S01, T01)
 
         if target_masks is None and self._swap_e2e is not None:
             # Fused device path, three-stage thread pipeline. The ~20 MB/s
@@ -366,8 +405,15 @@ class FaceSwapper:
 
             def prep(lo):
                 hi = min(lo + chunk, n)
-                s = np.clip(D01[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
-                t = np.clip(T01[lo:hi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                if u8_in:
+                    s, t = D01[lo:hi], T01[lo:hi]
+                else:
+                    s = np.clip(
+                        D01[lo:hi] * 255.0 + 0.5, 0, 255
+                    ).astype(np.uint8)
+                    t = np.clip(
+                        T01[lo:hi] * 255.0 + 0.5, 0, 255
+                    ).astype(np.uint8)
                 if hi - lo < chunk:  # pad tail: one compiled shape
                     rep = chunk - (hi - lo)
                     s = np.concatenate([s, s[-1:].repeat(rep, 0)])
@@ -422,10 +468,10 @@ class FaceSwapper:
                 if cur is None:
                     break
                 t0 = _time.perf_counter()
-                out_u8, _, _ = self._swap_e2e(
+                out_u8 = self._swap_e2e(
                     self.variables, self.parser.variables,
                     cur[0], cur[1], self.latent_avg,
-                )
+                )[0]
                 marks["disp"] += _time.perf_counter() - t0
                 out_q.put(out_u8)
             out_q.put(None)
@@ -441,6 +487,8 @@ class FaceSwapper:
                     f"dispatch total {marks['disp']*1e3:.0f}ms, "
                     f"download-thread total {marks['down']*1e3:.0f}ms"
                 )
+            if u8_in:  # uint8 in -> uint8 out, no host float pass
+                return np.concatenate(results)[:n]
             res = np.concatenate(
                 [r.astype(np.float32) for r in results]
             ) / 255.0

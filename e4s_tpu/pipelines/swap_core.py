@@ -182,7 +182,7 @@ def _img_to01(img):
 
 def make_swap_e2e(
     net: Net3, parser_model, parser_size: int = 512,
-    taxonomy: str = "ffhq19",
+    taxonomy: str = "ffhq19", lap_bld: bool = False,
 ):
     """Single-program end-to-end swap: uint8 images in, uint8 image out.
 
@@ -190,10 +190,18 @@ def make_swap_e2e(
     bound unless everything between the two images and the final pixel lives
     on device. This fuses: normalize -> BiSeNet parse (both faces, one
     batched pass) -> 19->12 LUT -> mask swap -> style extraction (batched)
-    -> texture swap -> masked synthesis -> feathered stitch -> uint8.
+    -> texture swap -> masked synthesis -> stitch -> uint8.
+
+    ``lap_bld`` selects the Laplacian multi-band blend stitch (the
+    reference's --lap_bld, ref: scripts/face_swap.py:283-311 + the cv2
+    pyramid at src/utils/multi_band_blending.py:52-75) instead of the
+    Gaussian-feather paste; it is part of the same fused program (BASELINE
+    config #3 runs entirely on device).
 
     Returns fn(variables, parser_variables, src_u8, tgt_u8, latent_avg)
-    -> (uint8 image [B,3,S,S], swapped 12-cls labels [B,1,h,w], hole map).
+    -> (uint8 image [B,3,S,S], swapped 12-cls labels [B,h,w], hole map,
+        driven 12-cls labels [B,h,w], target 12-cls labels [B,h,w]) — the
+    label maps are tiny uint8-sized downloads used by verbose dumps.
     src_u8/tgt_u8: [B,3,S,S] uint8 (or float in [0,1]).
     """
     def swap_e2e(variables, parser_variables, src, tgt, latent_avg):
@@ -230,14 +238,41 @@ def make_swap_e2e(
             method=Net3.gen_img, randomize_noise=False,
         )
 
-        stitched = stitch_foreground(
-            face, imgs[B:], swapped_label[:, None],
-            hole_map[:, None].astype(jnp.int32),
-        )
-        # truncating cast matches utils.img_utils.tensor2im exactly
-        out01 = jnp.clip((stitched.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
-        out_u8 = (out01 * 255.0).astype(jnp.uint8)
-        return out_u8, swapped_label, hole_map
+        if lap_bld:
+            # device twin of the staged --lap_bld branch (bit-matching the
+            # host path in pipelines/face_swap.py): content/border masks from
+            # the swapped labels, feathered paste, 10-level Laplacian blend
+            # in [0,255] f32
+            label_t = swapped_label[:, None]
+            hole_t = hole_map[:, None].astype(jnp.int32)
+            mask_bg = (label_t == 0) | (label_t == 11) | (label_t == 4)
+            fg = (~mask_bg | (hole_t == 255)).astype(jnp.float32)
+            content_mask, border_mask, _ = create_masks(
+                fg, outer_dilation=5, operation="expansion"
+            )
+            S = src.shape[-1]
+            content_mask = bilinear_resize(content_mask, (S, S))
+            border_mask = bilinear_resize(border_mask, (S, S))
+            swapped01 = (face.astype(jnp.float32) + 1.0) / 2.0 * 255.0
+            target255 = img01[B:].astype(jnp.float32) * 255.0
+            pasted = swapped01 * content_mask + target255 * (1 - content_mask)
+            from e4s_tpu.ops.blending import blend_images
+
+            blended = blend_images(
+                target255, pasted, jnp.repeat(border_mask, 3, axis=1)
+            )
+            out_u8 = jnp.clip(blended, 0.0, 255.0).astype(jnp.uint8)
+        else:
+            stitched = stitch_foreground(
+                face, imgs[B:], swapped_label[:, None],
+                hole_map[:, None].astype(jnp.int32),
+            )
+            # truncating cast matches utils.img_utils.tensor2im exactly
+            out01 = jnp.clip(
+                (stitched.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0
+            )
+            out_u8 = (out01 * 255.0).astype(jnp.uint8)
+        return out_u8, swapped_label, hole_map, d_label, t_label
 
     return swap_e2e
 

@@ -387,6 +387,17 @@ def test_seg19_to_12_device_matches_host():
     np.testing.assert_array_equal(got, want)
 
 
+def _run_staged(swapper, *args, **kw):
+    """Run swap_from_arrays with the fused program disabled (the staged host
+    path is the parity oracle for the fused one)."""
+    fused = swapper._swap_e2e
+    swapper._swap_e2e = None
+    try:
+        return swapper.swap_from_arrays(*args, **kw)
+    finally:
+        swapper._swap_e2e = fused
+
+
 def test_fused_e2e_matches_staged(tmp_path):
     """The single-program uint8 path must reproduce the staged path."""
     from e4s_tpu.pipelines.face_swap import FaceSwapper
@@ -397,11 +408,55 @@ def test_fused_e2e_matches_staged(tmp_path):
     S01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
     T01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
     fused = np.asarray(swapper.swap_from_arrays(S01, T01))
-    # verbose=True (with no save_dir) forces the staged host path
-    staged = np.asarray(swapper.swap_from_arrays(S01, T01, verbose=True))
+    staged = np.asarray(_run_staged(swapper, S01, T01))
     assert fused.shape == staged.shape
     diff = np.abs(fused.astype(np.int32) - staged.astype(np.int32))
     assert diff.max() <= 2, f"fused vs staged max px diff {diff.max()}"
+
+
+def test_fused_lap_bld_matches_staged(tmp_path):
+    """Config #3's fused Laplacian-blend stitch must reproduce the staged
+    lap_bld branch (device twin of multi_band_blending, ref
+    scripts/face_swap.py:283-311)."""
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    opts = small_swap_opts(tmp_path)
+    opts.lap_bld = True
+    swapper = FaceSwapper(opts)  # real (random-init) BiSeNet parser
+    rng = np.random.RandomState(1)
+    S01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
+    T01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
+    fused = np.asarray(swapper.swap_from_arrays(S01, T01))
+    staged = np.asarray(_run_staged(swapper, S01, T01))
+    assert fused.shape == staged.shape
+    diff = np.abs(fused.astype(np.int32) - staged.astype(np.int32))
+    assert diff.max() <= 2, f"fused vs staged lap_bld max px diff {diff.max()}"
+
+
+def test_fused_verbose_dumps_match_staged(tmp_path):
+    """verbose=True on the fused path must produce the same mask PNGs as the
+    staged path (same files, same label maps)."""
+    from PIL import Image
+
+    from e4s_tpu.pipelines.face_swap import FaceSwapper
+
+    opts = small_swap_opts(tmp_path)
+    swapper = FaceSwapper(opts)
+    rng = np.random.RandomState(2)
+    S01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
+    T01 = (rng.randint(0, 256, (1, 3, 64, 64)) / 255.0).astype(np.float32)
+    d_fused = tmp_path / "fused"
+    d_staged = tmp_path / "staged"
+    swapper.swap_from_arrays(S01, T01, save_dir=str(d_fused), verbose=True)
+    _run_staged(swapper, S01, T01, save_dir=str(d_staged), verbose=True)
+    for name in ("T_mask.png", "D_mask.png", "swappedMask.png"):
+        got = np.asarray(Image.open(d_fused / name))
+        want = np.asarray(Image.open(d_staged / name))
+        # parsing argmax ties at region boundaries may flip a pixel between
+        # the bf16 fused parse and the staged one; require near-identity
+        assert got.shape == want.shape
+        frac = float((got != want).mean())
+        assert frac <= 0.01, f"{name}: {frac:.4f} of labels differ"
 
 
 def test_edit_sweep_runs_and_shapes(tmp_path):
@@ -604,10 +659,10 @@ def test_swap_batch_fused_threaded_matches_sequential(tmp_path):
             rep = chunk - (hi - lo)
             s = np.concatenate([s, s[-1:].repeat(rep, 0)])
             t = np.concatenate([t, t[-1:].repeat(rep, 0)])
-        out_u8, _, _ = swapper._swap_e2e(
+        out_u8 = swapper._swap_e2e(
             swapper.variables, swapper.parser.variables,
             jax.device_put(s), jax.device_put(t), swapper.latent_avg,
-        )
+        )[0]
         outs.append(np.asarray(out_u8))
     want = np.concatenate(outs)[:n]
 

@@ -117,14 +117,16 @@ def test_coach_trains_on_8dev_mesh(tmp_path):
 
 
 @pytest.mark.slow
-def test_aux_losses_shard_on_2dev_mesh(tmp_path):
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_aux_losses_shard_on_mesh(tmp_path, n_dev):
     """Frozen-aux-net GRADIENT paths under data parallelism: one jitted G
-    step on a 2-device mesh with LPIPS/ID/parsing lambdas > 0 (the narrowed
-    driver dryrun zeroes ID/parsing; this keeps the differentiated
-    frozen-net graphs sharding-covered in the suite). Also asserts
-    loss_vars flows through the step as a jit ARGUMENT, not a closure —
-    the closure variant embedded device arrays as MLIR constants and
-    crashed trace-time on the real TPU (BENCH_r03)."""
+    step on a 2- and (driver-width) 8-device mesh with LPIPS/ID/parsing
+    lambdas > 0 (the narrowed driver dryrun zeroes ID/parsing; this keeps
+    the differentiated frozen-net graphs' collectives exercised in-suite at
+    the dryrun's mesh width). Also asserts loss_vars flows through the step
+    as a jit ARGUMENT, not a closure — the closure variant embedded device
+    arrays as MLIR constants and crashed trace-time on the real TPU
+    (BENCH_r03)."""
     import inspect
 
     from e4s_tpu.datasets.dataset import (
@@ -133,17 +135,17 @@ def test_aux_losses_shard_on_2dev_mesh(tmp_path):
     )
     from e4s_tpu.parallel.mesh import shard_batch
 
-    opts = small_opts(exp_dir=str(tmp_path), n_devices=2, batch_size=1)
+    opts = small_opts(exp_dir=str(tmp_path), n_devices=n_dev, batch_size=1)
     coach = Coach(opts)
-    assert coach.n_data == 2
+    assert coach.n_data == n_dev
 
     # the jitted step signature must carry loss_vars explicitly
     assert "loss_vars" in inspect.signature(coach._g_step).parameters
     assert "loss_vars" in inspect.signature(coach._eval_step_impl).parameters
 
     ds = SyntheticFaceDataset(size=64, num_seg_cls=12)
-    img = np.stack([ds[i][0] for i in range(2)]).astype(np.float32)
-    label = np.stack([ds[i][1] for i in range(2)]).astype(np.int32)
+    img = np.stack([ds[i][0] for i in range(n_dev)]).astype(np.float32)
+    label = np.stack([ds[i][1] for i in range(n_dev)]).astype(np.int32)
     onehot = label_map_to_onehot(label, 12)
     b = shard_batch((img, label, onehot), coach.mesh)
 
@@ -154,7 +156,8 @@ def test_aux_losses_shard_on_2dev_mesh(tmp_path):
     # grads were psum'd over the data axis: updated params stay replicated
     w = coach.state.params["MLPs_0"]["fc1"]["weight"]
     shards = [np.asarray(s.data) for s in w.addressable_shards]
-    np.testing.assert_array_equal(shards[0], shards[1])
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
 
 
 @pytest.mark.slow
