@@ -19,12 +19,17 @@ target is met.
 
 Time budget: the driver runs this under a hard timeout (BENCH_r04 died at
 rc 124 with ZERO output). Defenses, in order:
-  - a global deadline (BENCH_DEADLINE_S, default 1500 s from process start);
-    each stage has a calibrated cost estimate and is skipped (recorded in
+  - a global deadline (BENCH_DEADLINE_S, default 2700 s from process start);
+    each stage has a calibrated cost estimate (stage_s of the round-5
+    calibration run: 2255 s total) and is skipped (recorded in
     "skipped_stages") when the remaining budget can't cover it;
+  - heavy stages run in fresh subprocesses (private device arena — the B=4
+    training step RESOURCE_EXHAUSTs when sharing the chip with the resident
+    e2e swapper; a wedged compile gets killed instead of hanging the bench);
   - the one JSON line is (re)printed after EVERY completed stage — the driver
     parses the tail, so a partial result survives any later hang;
-  - SIGTERM/SIGALRM handlers print the current partial JSON before dying.
+  - SIGTERM/SIGALRM handlers + a watchdog thread print the current partial
+    JSON before dying.
 
 Env knobs: BENCH_OUT_SIZE, BENCH_ITERS, BENCH_BF16, BENCH_FAST=1 (core-only),
 BENCH_SKIP_CPU_BASELINE, BENCH_BATCH64=0 to skip config #5,
@@ -51,7 +56,12 @@ BF16 = os.environ.get("BENCH_BF16", "1") == "1"
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
 RUN_BATCH64 = os.environ.get("BENCH_BATCH64", "1") == "1"
 INVERSION_STEPS = int(os.environ.get("BENCH_INVERSION_STEPS", "200"))
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+# Aggressive by design: stages emit the JSON line as they complete and the
+# SIGTERM/watchdog handlers flush partials, so exceeding the driver's (un-
+# known) timeout only loses the stages that hadn't finished — exactly what
+# skipping them would have cost. The deadline bounds runaway stages, not
+# the total ambition.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 EXAMPLE_DIR = os.path.join(REPO, "example", "input", "faceswap")
@@ -719,7 +729,70 @@ def _stage(name: str, est_cost_s: float, fn, always: bool = False):
         _RESULT["stage_s"][name] = round(time.monotonic() - t0, 1)
         return None
     finally:
+        import gc
+
+        gc.collect()  # drop the stage's device buffers before the next one
         _emit()
+
+
+def _subprocess_stage(stage: str, timeout_s: float):
+    """Run one heavy stage in a fresh process (`python bench.py --stage X`)
+    and return its parsed JSON result.
+
+    Heavy stages get a private device arena: the calibration run showed the
+    B=4 training step (a ~14.5 G HBM program) RESOURCE_EXHAUSTs when it
+    shares the chip with the resident e2e swapper, and the exhaustion then
+    cascades to every later stage. A subprocess also bounds hangs (the axon
+    service occasionally wedges on a compile): we kill it and move on
+    instead of losing the whole bench.
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stage", stage],
+        capture_output=True, text=True, timeout=timeout_s, env=env,
+        cwd=REPO,
+    )
+    last = None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                last = json.loads(line)
+            except Exception:
+                pass
+    if last is None:
+        tail = (out.stdout + out.stderr)[-400:]
+        raise RuntimeError(
+            f"stage subprocess produced no JSON (rc {out.returncode}): {tail}"
+        )
+    return last
+
+
+def _run_single_stage(stage: str):
+    """`python bench.py --stage X`: run one stage, print ONE JSON line."""
+    from e4s_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    if stage == "training":
+        print(json.dumps(_bench_training()), flush=True)
+    elif stage == "e2e_full":
+        sps, p50 = _bench_e2e_full(max(2, ITERS // 3))
+        print(json.dumps({"sps": sps, "p50_ms": p50 * 1000}), flush=True)
+    elif stage == "segnext_lapbld":
+        print(
+            json.dumps({"sps": _bench_segnext_lapbld(max(2, ITERS // 3))}),
+            flush=True,
+        )
+    elif stage == "inversion":
+        print(
+            json.dumps({"ips": _bench_inversion(INVERSION_STEPS)}), flush=True
+        )
+    elif stage == "edit_sweep":
+        print(json.dumps({"eps": _bench_edit_sweep()}), flush=True)
+    else:
+        raise SystemExit(f"unknown stage {stage}")
 
 
 def _cache_fresh(path: str) -> bool:
@@ -746,7 +819,7 @@ def main():
         _RESULT["core_swaps_per_sec"] = round(BATCH / core_s, 4)
         _RESULT["core_p50_latency_ms"] = round(core_p50 * 1000, 2)
 
-    _stage("core", 240, st_core, always=True)
+    _stage("core", 300, st_core, always=True)
 
     # ---- baselines (committed caches make these ~free; fresh runs are
     # minutes of torch/JAX-CPU time and only run with budget to spare) ----
@@ -786,29 +859,10 @@ def main():
         _RESULT["_e2e_sps"] = e2e_sps
         _RESULT["_e2e_p50_ms"] = round(e2e_p50 * 1000, 2)
 
-    _stage("e2e", 200, st_e2e)
+    _stage("e2e", 180, st_e2e)
 
-    # ---- training throughput (never yet seen by the driver: first) ----
-    def st_training():
-        train = _bench_training()
-        _RESULT["train_detail"] = train
-        _RESULT["train_img_per_sec_per_chip"] = round(
-            train["img_per_sec"], 3
-        )
-
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
-        _stage("training", 420, st_training)
-
-    # ---- TRUE config #1 (reenact + restore + swap, device-resident) ----
-    def st_e2e_full():
-        sps, p50 = _bench_e2e_full(max(2, ITERS // 3))
-        _RESULT["e2e_full_swaps_per_sec"] = round(sps, 4)
-        _RESULT["e2e_full_p50_latency_ms"] = round(p50 * 1000, 2)
-
-    if os.environ.get("BENCH_FULL", "1") == "1":
-        _stage("e2e_full", 420, st_e2e_full)
-
-    # ---- config #5: batched 64-image throughput ----
+    # ---- config #5: batched 64-image throughput (reuses the e2e swapper
+    # + its already-warm fused program; only the batch-chunk shape is new)
     def st_batch64():
         sps, chunk = _bench_batch64(swapper_box["swapper"])
         _RESULT["batch64_swaps_per_sec"] = round(sps, 4)
@@ -818,28 +872,50 @@ def main():
         _stage("batch64", 150, st_batch64)
     swapper_box.clear()
 
-    # ---- config #3: SegNeXt + lap_bld + verbose ----
-    def st_cfg3():
-        _RESULT["segnext_lapbld_swaps_per_sec"] = round(
-            _bench_segnext_lapbld(max(2, ITERS // 3)), 4
+    # ---- heavy stages: each in a fresh process with a private device
+    # arena (see _subprocess_stage) ----
+
+    # training throughput (never yet seen by the driver: highest priority)
+    def st_training():
+        train = _subprocess_stage("training", min(900.0, _remaining() + 60))
+        _RESULT["train_detail"] = train
+        _RESULT["train_img_per_sec_per_chip"] = round(
+            train["img_per_sec"], 3
         )
+
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        _stage("training", 450, st_training)
+
+    # TRUE config #1 (reenact + restore + swap, device-resident)
+    def st_e2e_full():
+        d = _subprocess_stage("e2e_full", min(900.0, _remaining() + 60))
+        _RESULT["e2e_full_swaps_per_sec"] = round(d["sps"], 4)
+        _RESULT["e2e_full_p50_latency_ms"] = round(d["p50_ms"], 2)
+
+    if os.environ.get("BENCH_FULL", "1") == "1":
+        _stage("e2e_full", 650, st_e2e_full)
+
+    # config #3: SegNeXt + lap_bld + verbose (own fused program)
+    def st_cfg3():
+        d = _subprocess_stage("segnext_lapbld", min(700.0, _remaining() + 60))
+        _RESULT["segnext_lapbld_swaps_per_sec"] = round(d["sps"], 4)
 
     if os.environ.get("BENCH_CFG3", "1") == "1":
-        _stage("segnext_lapbld", 240, st_cfg3)
+        _stage("segnext_lapbld", 250, st_cfg3)
 
-    # ---- config #4: inversion ----
+    # config #4: inversion
     def st_inversion():
-        _RESULT["inversion_iters_per_sec"] = round(
-            _bench_inversion(INVERSION_STEPS), 2
-        )
+        d = _subprocess_stage("inversion", min(800.0, _remaining() + 60))
+        _RESULT["inversion_iters_per_sec"] = round(d["ips"], 2)
 
-    _stage("inversion", 200, st_inversion)
+    _stage("inversion", 680, st_inversion)
 
-    # ---- config #2: edit sweep ----
+    # config #2: edit sweep
     def st_edit():
-        _RESULT["edit_sweep_edits_per_sec"] = round(_bench_edit_sweep(), 3)
+        d = _subprocess_stage("edit_sweep", min(600.0, _remaining() + 60))
+        _RESULT["edit_sweep_edits_per_sec"] = round(d["eps"], 3)
 
-    _stage("edit_sweep", 150, st_edit)
+    _stage("edit_sweep", 180, st_edit)
 
     # ---- device-resident batched core (chip capability number) ----
     def st_core_batch():
@@ -849,10 +925,13 @@ def main():
         _RESULT["core_batch8_swaps_per_sec"] = round(b / s, 4)
 
     if os.environ.get("BENCH_CORE_BATCH", "1") == "1":
-        _stage("core_batch8", 120, st_core_batch)
+        _stage("core_batch8", 110, st_core_batch)
 
     _emit()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _run_single_stage(sys.argv[2])
+    else:
+        main()
