@@ -174,9 +174,11 @@ def pallas_supported_shape(H: int, W: int, Ci: int, Co: int) -> bool:
     VMEM lane tile, where the XLA path is already fine.
 
     E4S_TPU_PALLAS_LANE_MIN=64 opt-in extends the gate to the 64-channel
-    512^2 masked octave (half-packed lanes, K=64 matmuls): A/B'd on v5e in
-    round 5 and measured SLOWER, so 128 stays the default — the knob
-    remains for re-measurement on other chips (see DESIGN.md).
+    512^2 masked octave (half-packed lanes, K=64 matmuls). Interleaved
+    synthesis A/B on v5e (round 5, bf16 batch-4 @1024², 4x15 iters):
+    44.878 ms (128-gate) vs 44.826 ms (64-gate) min-of-means — a 0.1%
+    WASH, so 128 stays the default per the measured-positive-only rule;
+    the knob remains for re-measurement on other chips (see DESIGN.md).
     """
     import os
 
