@@ -386,6 +386,9 @@ def _bench_training(steps=None):
         id_loss_multiscale=True, face_parsing_lambda=0.1, l2_lambda=1.0,
         w_norm_lambda=0.0, r1_lambda=10.0, g_adv_lambda=0.01, style_lambda=0.0,
         style_loss_norm=1, latent_avg_samples=1024, mixed_precision=BF16,
+        # remat the frozen loss nets' backward (needed to fit B>=8; ~free
+        # at B<=4, so gate on the batch unless overridden)
+        remat_losses=os.environ.get("BENCH_TRAIN_REMAT", "1" if B >= 8 else "0") == "1",
     )
     coach = Coach(opts)
     ds = SyntheticFaceDataset(size=OUT_SIZE, num_seg_cls=12)

@@ -52,6 +52,7 @@ cross-check everything in tests.
 from __future__ import annotations
 
 import math
+import functools
 import os
 from functools import partial
 
@@ -588,9 +589,62 @@ def packed_tail_wanted() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def space_to_depth2(x):
-    """[B,2H,2W,C] -> [B,H,W,4C], phase-major: out[..., (a*2+b)*C + c] =
-    x[:, 2i+a, 2j+b, c]."""
+# For small per-phase channel counts (the C=3 RGB heads/tails) the
+# reshape+transpose relabeling's BACKWARD materialises 6-D cotangent
+# tensors whose tiny minor dims XLA:TPU tiles at 21x padding (a 48 MB RGB
+# grad became a 1.00 G HLO temp in the B=8 training step). The forward
+# relabeling is free (XLA fuses it into neighbours), so the forward keeps
+# it; a custom_vjp routes only the BACKWARD through an identity-kernel
+# stride-2 conv (4-D layouts, exact permutation, negligible FLOPs).
+# A conv FORWARD was tried first and regressed the B=4 train step 9.5 ->
+# 5.5 img/s — hence the fwd-reshape/bwd-conv split. Wide-channel cases
+# keep plain autodiff.
+_S2D_CONV_MAX_C = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_kernel_np(C: int):
+    """[2,2,C,4C] identity kernel: out ch (a*2+b)*C+c takes tap (a,b), ch c.
+
+    Cached as NUMPY (converted per call site): caching a jnp array would
+    leak a traced constant across jit scopes (UnexpectedTracerError)."""
+    k = np.zeros((2, 2, C, 4 * C), np.float32)
+    for a in range(2):
+        for b in range(2):
+            for c in range(C):
+                k[a, b, c, (a * 2 + b) * C + c] = 1.0
+    return k
+
+
+def _s2d_kernel(C: int, dtype_name: str):
+    return jnp.asarray(_s2d_kernel_np(C), dtype=jnp.dtype(dtype_name))
+
+
+def _s2d_conv(x):
+    """space_to_depth2 as a stride-2 conv. HIGHEST precision: the TPU's
+    default bf16 conv multiply would ROUND f32 data through an identity
+    permutation."""
+    C = x.shape[-1]
+    return lax.conv_general_dilated(
+        x, _s2d_kernel(C, x.dtype.name), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _d2s_conv(x):
+    """depth_to_space2 as the adjoint conv (transpose_kernel=True: the exact
+    adjoint of the s2d conv — a permutation, so adjoint == inverse)."""
+    C = x.shape[-1] // 4
+    return lax.conv_transpose(
+        x, _s2d_kernel(C, x.dtype.name), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _s2d_reshape(x):
     B, H2, W2, C = x.shape
     H, W = H2 // 2, W2 // 2
     x = x.reshape(B, H, 2, W, 2, C)
@@ -598,13 +652,54 @@ def space_to_depth2(x):
     return x.reshape(B, H, W, 4 * C)
 
 
-def depth_to_space2(x):
-    """Inverse of :func:`space_to_depth2`: [B,H,W,4C] -> [B,2H,2W,C]."""
+def _d2s_reshape(x):
     B, H, W, C4 = x.shape
     C = C4 // 4
     x = x.reshape(B, H, W, 2, 2, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [B,H,a,W,b,C]
     return x.reshape(B, 2 * H, 2 * W, C)
+
+
+@jax.custom_vjp
+def _s2d_smallc(x):
+    return _s2d_reshape(x)
+
+
+_s2d_smallc.defvjp(
+    lambda x: (_s2d_reshape(x), None),
+    lambda _, g: (_d2s_conv(g),),  # adjoint of s2d == d2s (permutation)
+)
+
+
+@jax.custom_vjp
+def _d2s_smallc(x):
+    return _d2s_reshape(x)
+
+
+_d2s_smallc.defvjp(
+    lambda x: (_d2s_reshape(x), None),
+    lambda _, g: (_s2d_conv(g),),
+)
+
+
+def _s2d_bwd_conv_wanted() -> bool:
+    """E4S_TPU_S2D_BWD_CONV=0 reverts to plain reshape autodiff (A/B)."""
+    return os.environ.get("E4S_TPU_S2D_BWD_CONV", "1") == "1"
+
+
+def space_to_depth2(x):
+    """[B,2H,2W,C] -> [B,H,W,4C], phase-major: out[..., (a*2+b)*C + c] =
+    x[:, 2i+a, 2j+b, c]."""
+    if x.shape[-1] <= _S2D_CONV_MAX_C and _s2d_bwd_conv_wanted():
+        return _s2d_smallc(x)
+    return _s2d_reshape(x)
+
+
+def depth_to_space2(x):
+    """Inverse of :func:`space_to_depth2`: [B,H,W,4C] -> [B,2H,2W,C]."""
+    if x.shape[-1] // 4 <= _S2D_CONV_MAX_C and _s2d_bwd_conv_wanted():
+        return _d2s_smallc(x)
+    return _d2s_reshape(x)
 
 
 def modulated_conv2d_nhwc_up_packed(

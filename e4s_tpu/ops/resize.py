@@ -22,9 +22,11 @@ src/models/encoders/psp_encoders.py:265), LPIPS multi-scale pooling
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 
@@ -173,6 +175,22 @@ def adaptive_avg_pool2d(x: jnp.ndarray, size) -> jnp.ndarray:
         return jnp.mean(x, axis=(-2, -1), keepdims=True)
     if H % out_h == 0 and W % out_w == 0:
         fh, fw = H // out_h, W // out_w
+        if fh == 1 and fw == 1:
+            return x
+        # Round-5 A/B (v5e, B=4 1024² train step, solo, suite paused):
+        # reshape+mean 8.66 img/s vs strided-slice adds 5.33 img/s — the
+        # slice gathers lower far worse than the 6-D mean, even though the
+        # mean's BACKWARD broadcast into [..., out_h, fh, out_w, fw] is
+        # 21x lane-padded (a 48 MB grad became a 1.00 G HLO temp at B=8).
+        # reshape+mean is therefore the default; E4S_TPU_POOL_SLICES=1
+        # opts into the 4-D slice formulation for memory-bound configs.
+        if os.environ.get("E4S_TPU_POOL_SLICES", "0") == "1":
+            y = None
+            for a in range(fh):
+                for b in range(fw):
+                    s = x[..., a::fh, b::fw]
+                    y = s if y is None else y + s
+            return y / jnp.asarray(fh * fw, x.dtype)
         shape = x.shape[:-2] + (out_h, fh, out_w, fw)
         return jnp.mean(x.reshape(shape), axis=(-3, -1))
     # General case: torch computes mean over [floor(i*H/out), ceil((i+1)*H/out)).

@@ -324,13 +324,24 @@ class Coach:
         opts = self.opts
         loss = 0.0
         loss_dict = {}
+        # Optional rematerialisation of the frozen loss nets: their forward
+        # activations dominate the G-step's backward footprint (the B=8
+        # 1024^2 step runs 1G over HBM without it). jax.checkpoint trades a
+        # second forward pass of the (inference-only) criteria for dropping
+        # those activations — the classic TPU FLOPs-for-HBM trade.
+        remat = (
+            jax.checkpoint if getattr(opts, "remat_losses", False)
+            else (lambda f: f)
+        )
         if opts.face_parsing_lambda > 0:
-            lp, imp = self.parsing_loss.apply(loss_vars["parsing"], recon, img)
+            lp, imp = remat(self.parsing_loss.apply)(
+                loss_vars["parsing"], recon, img
+            )
             loss_dict["loss_face_parsing"] = lp
             loss_dict["face_parsing_improve"] = imp
             loss = loss + lp * opts.face_parsing_lambda
         if opts.id_lambda > 0:
-            lid, sim = self.id_loss.apply(loss_vars["id"], recon, img)
+            lid, sim = remat(self.id_loss.apply)(loss_vars["id"], recon, img)
             loss_dict["loss_id"] = lid
             loss_dict["id_improve"] = sim
             loss = loss + lid * opts.id_lambda
@@ -340,15 +351,19 @@ class Coach:
             loss_dict["loss_l2"] = l2
             loss = loss + l2 * opts.l2_lambda
         if opts.lpips_lambda > 0:
+            def lpips_scale(lv, r, i, s):
+                if s != r.shape[-1]:  # scale 0 is identity: skip the copy
+                    r = adaptive_avg_pool2d(r, (s, s))
+                    i = adaptive_avg_pool2d(i, (s, s))
+                return self.lpips.apply(lv, r, i)
+
             llp = 0.0
             for i in range(3):
                 # min 32: AlexNet's receptive schedule degenerates below
                 # (only relevant for small test configs; 1024 path unchanged)
                 s = max(opts.out_size // (2**i), 32)
-                llp = llp + self.lpips.apply(
-                    loss_vars["lpips"],
-                    adaptive_avg_pool2d(recon, (s, s)),
-                    adaptive_avg_pool2d(img, (s, s)),
+                llp = llp + remat(partial(lpips_scale, s=s))(
+                    loss_vars["lpips"], recon, img
                 )
             loss_dict["loss_lpips"] = llp
             loss = loss + llp * opts.lpips_lambda
