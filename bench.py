@@ -728,7 +728,20 @@ def _stage(name: str, est_cost_s: float, fn, always: bool = False):
         return None
     t0 = time.monotonic()
     try:
-        out = fn()
+        # one retry after a cool-off: the axon service occasionally drops a
+        # transient FAILED_PRECONDITION and recovers within seconds
+        try:
+            out = fn()
+        except Exception as e1:
+            if _remaining() < est / 2:
+                raise
+            print(
+                f"[bench] {name} attempt 1 failed "
+                f"({type(e1).__name__}: {e1}); retrying in 20s",
+                flush=True,
+            )
+            time.sleep(20)
+            out = fn()
         _RESULT["stage_s"][name] = round(time.monotonic() - t0, 1)
         return out
     except Exception as e:
