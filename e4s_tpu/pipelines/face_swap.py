@@ -88,6 +88,7 @@ class FaceSwapper:
                 self._device_chain = DeviceReenactRestore(
                     self.reenactor.fv2v, self.restorer.enhancer,
                     out_size=opts.out_size,
+                    bf16=bool(getattr(opts, "bf16", False)),
                 )
             except ValueError:
                 self._device_chain = None  # non-SR GPEN config: host path

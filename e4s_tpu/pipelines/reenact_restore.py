@@ -69,17 +69,47 @@ class DeviceReenactRestore:
     TOP_K = 16  # candidate detections downloaded; >16 above-threshold faces
     # falls back to the host path (never seen on portrait inputs)
 
-    def __init__(self, fv2v, enhancer, out_size: int = 1024):
+    def __init__(self, fv2v, enhancer, out_size: int = 1024,
+                 bf16: bool = False):
         if not enhancer.use_sr or enhancer.in_size != 512:
             raise ValueError("device chain expects the GPEN 512 + SR config")
         self.fv2v = fv2v
         self.enh = enhancer
         self.out_size = out_size
+        # bf16 compute for the four pure-conv nets (SR, RetinaFace, GPEN,
+        # ParseNet) — wholesale f32->bf16 leaf cast, the same policy the
+        # coach applies to the frozen criteria (DESIGN.md §6). FaceVid2Vid
+        # stays f32: its dense-motion warp coordinates lose a pixel of
+        # precision in bf16. All uint8 quantisation points, the box decode,
+        # and the mask blurs stay f32. Stage profile that motivates this
+        # (f32, v5e): fv2v 122 / restore 136 / det 78 / SR 68 ms.
+        self.bf16 = bool(bf16)
+        self._act = jnp.bfloat16 if self.bf16 else jnp.float32
+        if self.bf16:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+            )
+            self._sr_vars = cast(enhancer.srmodel.variables)
+            self._rf_vars = cast(enhancer.facedetector.variables)
+            self._fg_vars = cast(enhancer.facegan.variables)
+            self._pn_vars = cast(enhancer.faceparser.variables)
+        else:
+            self._sr_vars = enhancer.srmodel.variables
+            self._rf_vars = enhancer.facedetector.variables
+            self._fg_vars = enhancer.facegan.variables
+            self._pn_vars = enhancer.faceparser.variables
 
         self._jit_prep_pose = jax.jit(self._prep_pose)
         self._jit_sr = jax.jit(self._sr_stage)
         self._jit_det = jax.jit(self._det_stage)
         self._jit_restore = jax.jit(self._restore_stage)
+        # fused front: pose -> fv2v generate -> SR -> detect as ONE program
+        # with the detection outputs bundled into a single [K,15] download.
+        # The chain is dispatch-latency-bound on the tunnel (bf16 A/B of the
+        # four conv nets moved 397.5 -> 394.0 ms — a wash at 49.3 dB), so
+        # fewer round trips, not faster math, is the lever.
+        self._jit_front = jax.jit(self._front_stage)
 
     # ------------------------- jitted stages ---------------------------
 
@@ -105,9 +135,9 @@ class DeviceReenactRestore:
         (face_swap.py:205), RealESRNet output .round() (real_esrnet.py),
         cv2.resize on uint8 -> rounding."""
         pred_u8 = jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
-        sr_in = pred_u8.astype(jnp.float32) / 255.0
+        sr_in = (pred_u8.astype(jnp.float32) / 255.0).astype(self._act)
         out = self.enh.srmodel.model.apply(sr_vars, sr_in)
-        out = jnp.clip(out, 0.0, 1.0)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         img_sr_u8 = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
         S = img_sr_u8.shape[-1]
         up = bilinear_resize(pred_u8.astype(jnp.float32), (S, S))
@@ -119,7 +149,12 @@ class DeviceReenactRestore:
         S = img_up_u8.shape[-1]
         x = img_up_u8.astype(jnp.float32)[:, ::-1]  # RGB->BGR (net layout)
         mean = jnp.asarray([104.0, 117.0, 123.0]).reshape(1, 3, 1, 1)
-        loc, conf, ldm = self.enh.facedetector.net.apply(rf_vars, x - mean)
+        loc, conf, ldm = self.enh.facedetector.net.apply(
+            rf_vars, (x - mean).astype(self._act)
+        )
+        loc = loc.astype(jnp.float32)
+        conf = conf.astype(jnp.float32)
+        ldm = ldm.astype(jnp.float32)
         # numpy constant on purpose (no eager device-put at trace time)
         priors = prior_boxes((S, S)).astype(np.float32)
         v0, v1 = 0.1, 0.2
@@ -147,13 +182,19 @@ class DeviceReenactRestore:
             img_up_u8[0].astype(jnp.float32), minv_crop, (in_size, in_size)
         )
         of_u8 = jnp.clip(jnp.round(of), 0, 255).astype(jnp.uint8)
-        net_in = (of_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        net_in = ((of_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5).astype(
+            self._act
+        )
         ef = self.enh.facegan.model.apply(fg_vars, net_in[None])[0]
-        ef01 = jnp.clip(ef[0] * 0.5 + 0.5, 0.0, 1.0)
+        ef01 = jnp.clip(ef[0].astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
         ef_u8 = jnp.clip(ef01 * 255.0, 0, 255).astype(jnp.uint8)  # truncation
 
-        pn_in = ef_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-        logits = self.enh.faceparser.model.apply(pn_vars, pn_in[None])[0]
+        pn_in = (ef_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0).astype(
+            self._act
+        )
+        logits = self.enh.faceparser.model.apply(
+            pn_vars, pn_in[None]
+        )[0].astype(jnp.float32)
         m = parse_mask(logits)[0] / 255.0  # [512,512] in {0,1}
         thres = 20
         m = m.at[:thres, :].set(0).at[-thres:, :].set(0)
@@ -169,25 +210,51 @@ class DeviceReenactRestore:
         out_u8 = jnp.clip(out, 0, 255).astype(jnp.uint8)  # ref: astype trunc
         return out_u8[None]
 
+    def _front_stage(self, kp_vars, he_vars, gen_vars, sr_vars, rf_vars,
+                     s_u8, t_u8):
+        """pose + fv2v generate + SR + detect, fused; detection outputs
+        bundled as one [K, 15] array (boxes|landmarks|score) so the host
+        sync is a single small download."""
+        s256, kp_d, kp_s = self._prep_pose(kp_vars, he_vars, s_u8, t_u8)
+        pred = self.fv2v.generator.apply(
+            gen_vars, s256, kp_d, kp_s
+        )["prediction"]
+        img_sr_u8, img_up_u8 = self._sr_stage(sr_vars, pred)
+        boxes, lms, scores = self._det_stage(rf_vars, img_up_u8)
+        det = jnp.concatenate([boxes, lms, scores[:, None]], axis=1)
+        return img_sr_u8, img_up_u8, det
+
     # ----------------------------- driver -------------------------------
 
     def __call__(self, s_u8_dev, t_u8_dev) -> Optional[jnp.ndarray]:
         enh = self.enh
         fv_vars = self.fv2v.variables
-        s256, kp_d, kp_s = self._jit_prep_pose(
-            fv_vars["kp_detector"], fv_vars["he_estimator"], s_u8_dev, t_u8_dev
-        )
-        pred = self.fv2v._jit_gen(fv_vars["generator"], s256, kp_d, kp_s)
-
-        img_sr_u8, img_up_u8 = self._jit_sr(
-            enh.srmodel.variables, pred
-        )
-        boxes, lms, scores = self._jit_det(
-            enh.facedetector.variables, img_up_u8
-        )
-        boxes = np.asarray(boxes)
-        lms = np.asarray(lms)
-        scores = np.asarray(scores)
+        if not getattr(self, "_front_unfused", False):
+            try:
+                img_sr_u8, img_up_u8, det_dev = self._jit_front(
+                    fv_vars["kp_detector"], fv_vars["he_estimator"],
+                    fv_vars["generator"], self._sr_vars, self._rf_vars,
+                    s_u8_dev, t_u8_dev,
+                )
+            except Exception as e:  # remote-compile size limit (HTTP 413)
+                print(
+                    f"[reenact_restore] fused front failed "
+                    f"({type(e).__name__}); staying staged"
+                )
+                self._front_unfused = True
+        if getattr(self, "_front_unfused", False):
+            s256, kp_d, kp_s = self._jit_prep_pose(
+                fv_vars["kp_detector"], fv_vars["he_estimator"],
+                s_u8_dev, t_u8_dev,
+            )
+            pred = self.fv2v._jit_gen(fv_vars["generator"], s256, kp_d, kp_s)
+            img_sr_u8, img_up_u8 = self._jit_sr(self._sr_vars, pred)
+            boxes, lms, scores = self._jit_det(self._rf_vars, img_up_u8)
+            det_dev = jnp.concatenate(
+                [boxes, lms, scores[:, None]], axis=1
+            )
+        det_host = np.asarray(det_dev)
+        boxes, lms, scores = det_host[:, :4], det_host[:, 4:14], det_host[:, 14]
 
         keep = scores >= enh.threshold
         if keep.sum() >= self.TOP_K:
@@ -232,6 +299,6 @@ class DeviceReenactRestore:
         minv_crop = jnp.asarray(_invert_affine(tfm))
         minv_back = jnp.asarray(_invert_affine(tfm_inv))
         return self._jit_restore(
-            enh.facegan.variables, enh.faceparser.variables,
+            self._fg_vars, self._pn_vars,
             img_up_u8, img_sr_u8, minv_crop, minv_back,
         )
