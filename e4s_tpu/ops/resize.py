@@ -177,20 +177,23 @@ def adaptive_avg_pool2d(x: jnp.ndarray, size) -> jnp.ndarray:
         fh, fw = H // out_h, W // out_w
         if fh == 1 and fw == 1:
             return x
-        # Round-5 A/B (v5e, B=4 1024² train step, solo, suite paused):
-        # reshape+mean 8.66 img/s vs strided-slice adds 5.33 img/s — the
-        # slice gathers lower far worse than the 6-D mean, even though the
-        # mean's BACKWARD broadcast into [..., out_h, fh, out_w, fw] is
-        # 21x lane-padded (a 48 MB grad became a 1.00 G HLO temp at B=8).
-        # reshape+mean is therefore the default; E4S_TPU_POOL_SLICES=1
-        # opts into the 4-D slice formulation for memory-bound configs.
-        if os.environ.get("E4S_TPU_POOL_SLICES", "0") == "1":
-            y = None
-            for a in range(fh):
-                for b in range(fw):
-                    s = x[..., a::fh, b::fw]
-                    y = s if y is None else y + s
-            return y / jnp.asarray(fh * fw, x.dtype)
+        # Depthwise stride-f conv with a uniform 1/(fh*fw) kernel — the
+        # measured-fastest formulation on v5e for the hot [B,3,1024²]
+        # pools (bf16, bit-identical outputs): conv 2.26 ms vs
+        # reduce_window 1.80 (fails to linearize under jax.checkpoint) vs
+        # reshape+mean 7.47 (and its BACKWARD broadcast is 21x
+        # lane-padded: 48 MB grads became 1.00 G HLO temps at B=8) vs
+        # strided-slice adds 12.73. HIGHEST precision keeps f32 exact and
+        # accumulates bf16 in f32. E4S_TPU_POOL_CONV=0 reverts.
+        if x.ndim == 4 and os.environ.get("E4S_TPU_POOL_CONV", "1") == "1":
+            C = x.shape[1]
+            k = jnp.full((fh, fw, 1, C), 1.0 / (fh * fw), x.dtype)
+            return lax.conv_general_dilated(
+                x, k, (fh, fw), "VALID",
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                feature_group_count=C,
+                precision=lax.Precision.HIGHEST,
+            )
         shape = x.shape[:-2] + (out_h, fh, out_w, fw)
         return jnp.mean(x.reshape(shape), axis=(-3, -1))
     # General case: torch computes mean over [floor(i*H/out), ceil((i+1)*H/out)).

@@ -135,7 +135,7 @@ def main():
     # --- full loss forward (no grad) ---
     def loss_only(p, i, o):
         r, _, latent = coach._net_forward(p, noises_c, i, o, la_c, rng)
-        loss, _ = coach._calc_loss(i, r, label, latent, la_c)
+        loss, _ = coach._calc_loss(coach.loss_vars, i, r, label, latent, la_c)
         fake = coach.D.apply({"params": mp(state.params_d)}, r)
         from e4s_tpu.criteria.adv_loss import adv_g_loss
 
