@@ -160,12 +160,42 @@ def antialiased_resize(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     return jnp.einsum("pw,...ow->...op", Aw, y)
 
 
-def adaptive_avg_pool2d(x: jnp.ndarray, size) -> jnp.ndarray:
+# Trace-scoped override for the uniform pool lowering (set via
+# pool_conv_scope during tracing of a program whose context prefers the
+# other form — e.g. the inversion lax.scan). Checked before the env knob.
+_POOL_CONV_OVERRIDE: bool | None = None
+
+
+class pool_conv_scope:
+    """Context manager: force the pool lowering within a trace scope."""
+
+    def __init__(self, conv_impl: bool | None):
+        self.v = conv_impl
+
+    def __enter__(self):
+        global _POOL_CONV_OVERRIDE
+        self.prev = _POOL_CONV_OVERRIDE
+        _POOL_CONV_OVERRIDE = self.v
+
+    def __exit__(self, *exc):
+        global _POOL_CONV_OVERRIDE
+        _POOL_CONV_OVERRIDE = self.prev
+
+
+def adaptive_avg_pool2d(
+    x: jnp.ndarray, size, conv_impl: bool | None = None
+) -> jnp.ndarray:
     """``F.adaptive_avg_pool2d`` for the cases the reference uses.
 
     Exact for output sizes that divide the input (the only cases on the E4S
     hot paths: LPIPS 1024->512->256 pyramids and SE global pooling); general
     sizes fall back to the torch start/end-index formula.
+
+    ``conv_impl`` picks the uniform-case lowering (None -> the
+    E4S_TPU_POOL_CONV env default, on): the depthwise-conv form wins the
+    training step (+28%), but the same form inside the inversion
+    ``lax.scan`` measured 15% SLOWER than reshape+mean — callers in scanned
+    loops pass conv_impl=False (both A/B'd on v5e, round 5).
     """
     if isinstance(size, int):
         size = (size, size)
@@ -185,7 +215,13 @@ def adaptive_avg_pool2d(x: jnp.ndarray, size) -> jnp.ndarray:
         # lane-padded: 48 MB grads became 1.00 G HLO temps at B=8) vs
         # strided-slice adds 12.73. HIGHEST precision keeps f32 exact and
         # accumulates bf16 in f32. E4S_TPU_POOL_CONV=0 reverts.
-        if x.ndim == 4 and os.environ.get("E4S_TPU_POOL_CONV", "1") == "1":
+        if conv_impl is None:
+            conv_impl = (
+                _POOL_CONV_OVERRIDE
+                if _POOL_CONV_OVERRIDE is not None
+                else os.environ.get("E4S_TPU_POOL_CONV", "1") == "1"
+            )
+        if x.ndim == 4 and conv_impl:
             C = x.shape[1]
             k = jnp.full((fh, fw, 1, C), 1.0 / (fh * fw), x.dtype)
             return lax.conv_general_dilated(

@@ -122,6 +122,16 @@ class Optimizer:
         return self._calc_loss_fn(self.loss_vars, img, recon)
 
     def _calc_loss_fn(self, loss_vars, img, recon):
+        from e4s_tpu.ops.resize import pool_conv_scope
+
+        with pool_conv_scope(False):
+            return self._calc_loss_impl(loss_vars, img, recon)
+
+    def _calc_loss_impl(self, loss_vars, img, recon):
+        # traced under pool_conv_scope(False): every uniform avg-pool in
+        # this loss (ID/LPIPS/parsing) lowers as reshape+mean — the
+        # depthwise-conv form is 15% slower inside the refinement lax.scan
+        # (round-5 A/B on v5e; the coach's unrolled step prefers conv)
         opts = self.opts
         loss = 0.0
         aux = {}
