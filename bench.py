@@ -205,8 +205,17 @@ def _bench_e2e_full(iters):
     S01, T01 = _load_example_pair()
     swapper.swap_from_arrays(S01, T01)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        swapper.swap_from_arrays(S01, T01)
+    for i in range(iters):
+        swapper.swap_from_arrays(S01, T01)  # synchronous (host readback)
+        if i >= 1:  # interim partials for the TimeoutExpired salvage path
+            per = (time.perf_counter() - t0) / (i + 1)
+            print(
+                json.dumps({
+                    "sps": 1.0 / per, "p50_ms": per * 1000,
+                    "iters": i + 1, "partial": True,
+                }),
+                flush=True,
+            )
     per_iter = (time.perf_counter() - t0) / iters
 
     lat = []
@@ -302,8 +311,16 @@ def _bench_segnext_lapbld(iters):
     swapper.swap_from_arrays(S01, T01, save_dir=save_dir, verbose=True)
     swapper.swap_from_arrays(S01, T01)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         swapper.swap_from_arrays(S01, T01)
+        if i >= 1:  # interim partials for the TimeoutExpired salvage path
+            print(
+                json.dumps({
+                    "sps": (i + 1) / (time.perf_counter() - t0),
+                    "iters": i + 1, "partial": True,
+                }),
+                flush=True,
+            )
     return iters / (time.perf_counter() - t0)
 
 
@@ -427,6 +444,17 @@ def _bench_training(steps=None):
             now = time.perf_counter()
             seg_times.append((now - t_seg) / seg)
             t_seg = now
+            # interim line: if the driver's budget kills this child between
+            # segments, the parent salvages the freshest rate from our
+            # captured stdout (_subprocess_stage TimeoutExpired path)
+            med_sofar = float(np.median(seg_times))
+            print(
+                json.dumps({
+                    "img_per_sec": B / med_sofar, "sec_per_step": med_sofar,
+                    "steps": i + 1, "batch": B, "partial": True,
+                }),
+                flush=True,
+            )
     _sync(g_losses[-1])
     dt = time.perf_counter() - t_all
     first = float(np.mean([_sync(x) for x in g_losses[: min(20, steps // 2)]]))
@@ -769,20 +797,41 @@ def _subprocess_stage(stage: str, timeout_s: float):
     """
     import subprocess
 
+    def last_json(text):
+        last = None
+        for line in (text or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    last = json.loads(line)
+                except Exception:
+                    pass
+        return last
+
     env = dict(os.environ)
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--stage", stage],
-        capture_output=True, text=True, timeout=timeout_s, env=env,
-        cwd=REPO,
-    )
-    last = None
-    for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                last = json.loads(line)
-            except Exception:
-                pass
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired as e:
+        # salvage: the stage fns print interim JSON lines per measured
+        # segment/iteration, so a child killed mid-run (axon degradation
+        # can blow a single warmup past the cap — BENCH r05 calibration)
+        # still yields its freshest partial rate instead of nothing
+        stdout = e.stdout
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        last = last_json(stdout)
+        if last is not None:
+            last["timed_out_after_s"] = round(timeout_s, 1)
+            return last
+        raise RuntimeError(
+            f"stage subprocess timed out after {timeout_s:.0f}s "
+            "with no JSON (killed during warmup/compile)"
+        )
+    last = last_json(out.stdout)
     if last is None:
         tail = (out.stdout + out.stderr)[-400:]
         raise RuntimeError(
